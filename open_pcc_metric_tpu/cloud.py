@@ -1,0 +1,166 @@
+"""Point-cloud containers with TPU-friendly padded, static-shape storage.
+
+Role parity: the reference keeps clouds as ``open3d.geometry.PointCloud`` objects
+(reference: open_pcc_metric/cloud_pair.py:45-59). Here a cloud is a set of padded
+``jax.numpy`` arrays plus a static valid-point count, so every downstream kernel
+sees static shapes (XLA requirement) and padded sizes fall into a small number of
+buckets (bounded recompilation across frames of a sequence).
+
+Padding convention:
+  * ``points`` rows >= n are set to ``PAD_SENTINEL`` (a huge coordinate) so a
+    padded row can never be the nearest neighbour of a valid query point.
+  * ``colors`` / ``normals`` rows >= n are zero.
+  * All reductions downstream mask by row index < n.
+"""
+from __future__ import annotations
+
+import dataclasses
+import typing
+
+import jax.numpy as jnp
+import numpy as np
+
+# Large-but-finite sentinel: squared distances to it stay finite in float32
+# (~3e18 << 3.4e38), so min/argmin logic never sees NaN/inf.
+PAD_SENTINEL = 1.0e9
+
+# Pallas NN kernel tiles queries by 256 rows; keep every padded size a multiple.
+_MIN_ALIGN = 256
+
+
+def round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def pad_bucket(n: int) -> int:
+    """Round ``n`` up to a bucketed padded size.
+
+    Buckets are multiples of ``max(_MIN_ALIGN, 2^(floor(log2 n) - 3))`` — i.e.
+    at most ~12.5% padding waste while keeping the number of distinct compiled
+    shapes logarithmic in cloud size.
+    """
+    if n <= _MIN_ALIGN:
+        return _MIN_ALIGN
+    step = max(_MIN_ALIGN, 1 << (int(n - 1).bit_length() - 4))
+    return round_up(n, step)
+
+
+@dataclasses.dataclass
+class Cloud:
+    """A padded point cloud on device.
+
+    Attributes:
+      points:  (P, 3) float array; rows >= n are PAD_SENTINEL.
+      n:       number of valid points (static Python int).
+      colors:  optional (P, 3) float array in [0, 1] (Open3D convention —
+               reference: colors are read as float64 / 255, cloud_pair.py:38-40).
+      normals: optional (P, 3) float array, unit length for valid rows.
+    """
+
+    points: jnp.ndarray
+    n: int
+    colors: typing.Optional[jnp.ndarray] = None
+    normals: typing.Optional[jnp.ndarray] = None
+
+    @property
+    def padded_size(self) -> int:
+        return int(self.points.shape[0])
+
+    def has_colors(self) -> bool:
+        return self.colors is not None
+
+    def has_normals(self) -> bool:
+        return self.normals is not None
+
+    @staticmethod
+    def from_numpy(
+        points: np.ndarray,
+        colors: typing.Optional[np.ndarray] = None,
+        normals: typing.Optional[np.ndarray] = None,
+        dtype: typing.Any = jnp.float32,
+        pad_to: typing.Optional[int] = None,
+    ) -> "Cloud":
+        points = np.asarray(points, dtype=np.float64).reshape(-1, 3)
+        n = points.shape[0]
+        if n == 0:
+            raise ValueError("empty point cloud")
+        p = pad_to if pad_to is not None else pad_bucket(n)
+        if p < n:
+            raise ValueError(f"pad_to={p} < n={n}")
+
+        buf = np.full((p, 3), PAD_SENTINEL, dtype=np.float64)
+        buf[:n] = points
+        jpoints = jnp.asarray(buf, dtype=dtype)
+
+        jcolors = None
+        if colors is not None:
+            colors = np.asarray(colors, dtype=np.float64).reshape(-1, 3)
+            if colors.shape[0] != n:
+                raise ValueError("colors/points length mismatch")
+            cbuf = np.zeros((p, 3), dtype=np.float64)
+            cbuf[:n] = colors
+            jcolors = jnp.asarray(cbuf, dtype=dtype)
+
+        jnormals = None
+        if normals is not None:
+            normals = np.asarray(normals, dtype=np.float64).reshape(-1, 3)
+            if normals.shape[0] != n:
+                raise ValueError("normals/points length mismatch")
+            nbuf = np.zeros((p, 3), dtype=np.float64)
+            nbuf[:n] = normals
+            jnormals = jnp.asarray(nbuf, dtype=dtype)
+
+        return Cloud(points=jpoints, n=n, colors=jcolors, normals=jnormals)
+
+    def valid_points(self) -> np.ndarray:
+        """Valid points as a host numpy array (for host-side algorithms: OBB, IO)."""
+        return np.asarray(self.points[: self.n])
+
+    def valid_mask(self) -> jnp.ndarray:
+        idx = jnp.arange(self.padded_size)
+        return idx < self.n
+
+
+def synthetic_sphere_pair(
+    n: int = 10_000,
+    noise: float = 0.01,
+    seed: int = 0,
+    with_colors: bool = True,
+    dtype: typing.Any = jnp.float32,
+) -> typing.Tuple[Cloud, Cloud]:
+    """Clean-vs-perturbed sphere pair (BASELINE.json config 1 style)."""
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pts = v * 100.0
+    colors = (pts - pts.min(0)) / (pts.max(0) - pts.min(0)) if with_colors else None
+    noisy = pts + rng.normal(scale=noise * 100.0, size=pts.shape)
+    a = Cloud.from_numpy(pts, colors=colors, dtype=dtype)
+    b = Cloud.from_numpy(noisy, colors=colors, dtype=dtype)
+    return a, b
+
+
+def synthetic_voxel_pair(
+    n: int = 10_000,
+    grid: int = 512,
+    seed: int = 0,
+    with_colors: bool = True,
+    dtype: typing.Any = jnp.float32,
+) -> typing.Tuple[Cloud, Cloud]:
+    """Integer-grid (voxelized) pair: original vs re-quantized-with-loss.
+
+    Integer coordinates < 2^10 make all float32 distance math exact, which the
+    parity tests exploit.
+    """
+    rng = np.random.default_rng(seed)
+    pts = np.unique(rng.integers(0, grid, size=(n, 3)), axis=0).astype(np.float64)
+    # Quantize to a coarser grid to emulate lossy geometry coding.
+    rec = np.unique((pts // 4) * 4 + 2, axis=0)
+    colors = None
+    rcolors = None
+    if with_colors:
+        colors = (rng.integers(0, 256, size=pts.shape) / 255.0)
+        rcolors = (rng.integers(0, 256, size=rec.shape) / 255.0)
+    a = Cloud.from_numpy(pts, colors=colors, dtype=dtype)
+    b = Cloud.from_numpy(rec, colors=rcolors, dtype=dtype)
+    return a, b

@@ -1,0 +1,54 @@
+"""PCA normal estimation (k-NN covariance + closed-form 3x3 eigh).
+
+Replaces the reference's ``PointCloud.estimate_normals()`` with Open3D default
+parameters (reference: open_pcc_metric/cloud_pair.py:61-64; Open3D default is
+``KDTreeSearchParamKNN(knn=30)``): for every point, the covariance of its 30
+nearest neighbours (the point itself included, population normalisation) and
+the eigenvector of the smallest eigenvalue. Normals are UNORIENTED (sign
+arbitrary) exactly like the reference — D2 squares the projection so the sign
+cancels (reference: metric.py:179).
+"""
+from __future__ import annotations
+
+import functools
+import typing
+
+import jax
+import jax.numpy as jnp
+
+from .knn import knn
+from .eigh3 import smallest_eigenvector_sym3
+
+DEFAULT_KNN = 30
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def normals_from_neighbors(
+    points: jnp.ndarray, neighbor_idx: jnp.ndarray, k: int
+) -> jnp.ndarray:
+    """Covariance PCA normal from given neighbour index lists (P, k)."""
+    neigh = jnp.take(points, neighbor_idx, axis=0)  # (P, k, 3)
+    mean = jnp.mean(neigh, axis=1, keepdims=True)
+    centered = neigh - mean
+    # Population covariance (divide by k), matching Open3D's cumulant form.
+    cov = jnp.einsum("pki,pkj->pij", centered, centered) / k
+    return smallest_eigenvector_sym3(cov)
+
+
+def estimate_normals(
+    points: jnp.ndarray,
+    k: int = DEFAULT_KNN,
+    neighbor_idx: typing.Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Estimate unit normals for a padded (P, 3) point array.
+
+    The k-NN search runs over the same cloud with the query point included in
+    its own neighbourhood (FLANN/Open3D semantics: ``search_knn_vector_3d``
+    returns the query itself at distance 0).
+
+    Padded rows (PAD_SENTINEL coords) produce the degenerate fallback normal;
+    callers mask rows >= n downstream.
+    """
+    if neighbor_idx is None:
+        neighbor_idx, _ = knn(points, points, k=k, exclude_self=False)
+    return normals_from_neighbors(points, neighbor_idx, k)

@@ -1,0 +1,41 @@
+"""Pallas NN kernel equivalence vs the jnp path (interpret mode on CPU)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from open_pcc_metric_tpu.cloud import Cloud
+from open_pcc_metric_tpu.ops.nn import nn_chunked
+from open_pcc_metric_tpu.ops.nn_pallas import nn_argmin
+
+
+def _pad32(pts):
+    return Cloud.from_numpy(pts, dtype=jnp.float32).points
+
+
+@pytest.mark.parametrize("na,nb", [(300, 300), (700, 1200)])
+def test_interpret_matches_jnp(na, nb):
+    rng = np.random.default_rng(na)
+    a = rng.integers(0, 1024, (na, 3)).astype(np.float64)
+    b = rng.integers(0, 1024, (nb, 3)).astype(np.float64)
+    pa, pb = _pad32(a), _pad32(b)
+    idx = np.asarray(nn_argmin(pa, pb, interpret=True))
+    jidx, _ = nn_chunked(pa, pb)
+    np.testing.assert_array_equal(idx[:na], np.asarray(jidx)[:na])
+
+
+def test_interpret_self_exclusion():
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 512, (500, 3)).astype(np.float64)
+    pa = _pad32(a)
+    idx = np.asarray(nn_argmin(pa, pa, exclude_self=True, interpret=True))
+    jidx, _ = nn_chunked(pa, pa, exclude_self=True)
+    np.testing.assert_array_equal(idx[:500], np.asarray(jidx)[:500])
+    assert not np.any(idx[:500] == np.arange(500))
+
+
+def test_interpret_tie_break_lowest_index():
+    a = np.array([[0.0, 0.0, 0.0]])
+    b = np.zeros((600, 3))
+    b[:, 0] = 7.0  # all equidistant
+    idx = np.asarray(nn_argmin(_pad32(a), _pad32(b), interpret=True))
+    assert idx[0] == 0
