@@ -1,0 +1,161 @@
+"""Benchmark: full symmetric D1+D2+colour metric suite throughput on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload (BASELINE.json config-3 scale): a ~800k-point voxelised surface pair
+(8iVFB-longdress-like: integer coords on a 1024 grid, 8-bit colours, normals
+present in the files — the reference skips estimation when normals exist,
+reference cloud_pair.py:61-64). The full suite = bidirectional D1 MSE/PSNR +
+Hausdorff, intra-origin min/max, D2 (point-to-plane) MSE/PSNR + Hausdorff,
+YCbCr colour MSE/PSNR, minimal-OBB peak — i.e. every number the reference CLI
+prints with --color ycc --hausdorff --point-to-plane.
+
+value      = Mpoints/sec/chip: (n_origin + n_reconst) / wall seconds / 1e6,
+             median of 3 timed runs after a compile warm-up.
+vs_baseline= speedup over a CPU "reference-equivalent" implementation
+             (scipy cKDTree bulk queries, all cores, float64) measured on the
+             same clouds. NOTE this baseline is GENEROUS to the reference:
+             the actual reference tool crosses Python->FLANN once per point
+             (reference cloud_pair.py:22-32) and is typically another
+             ~50-100x slower than bulk cKDTree.
+The CPU baseline is cached in BENCH_BASELINE_CPU.json (delete to remeasure).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+N_TARGET = int(os.environ.get("PCC_BENCH_POINTS", "800000"))
+RUNS = int(os.environ.get("PCC_BENCH_RUNS", "3"))
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "BENCH_BASELINE_CPU.json")
+
+
+def make_clouds(n_target: int, seed: int = 0):
+    """Voxelised bumpy-sphere surface pair with colours and normals."""
+    rng = np.random.default_rng(seed)
+    m = int(n_target * 5)
+    v = rng.normal(size=(m, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    # Concave radial modulation keeps the convex hull small (realistic for
+    # human-figure clouds; a pure sphere would put every voxel on the hull).
+    bump = 1.0 + 0.25 * np.sin(3 * v[:, 0] * np.pi) * np.cos(2 * v[:, 1] * np.pi)
+    r = 380.0 * bump
+    pts = np.round(v * r[:, None] + 512.0)
+    pts, uniq_idx = np.unique(pts, axis=0, return_index=True)
+    if pts.shape[0] > n_target:
+        sel = rng.choice(pts.shape[0], n_target, replace=False)
+        sel.sort()
+        pts = pts[sel]
+    n0 = pts.shape[0]
+    normals0 = pts - 512.0
+    normals0 /= np.linalg.norm(normals0, axis=1, keepdims=True)
+    colors0 = (np.round(
+        255 * (0.5 + 0.5 * np.sin(pts / 64.0))) / 255.0)
+
+    # Degraded: quantise geometry by 2, re-voxelise; perturb colours 8-bit-ish.
+    rec = np.unique(np.round(pts / 2.0) * 2.0, axis=0)
+    n1 = rec.shape[0]
+    normals1 = rec - 512.0
+    normals1 /= np.linalg.norm(normals1, axis=1, keepdims=True)
+    colors1 = np.clip(
+        np.round(255 * (0.5 + 0.5 * np.sin(rec / 64.0))
+                 + rng.integers(-3, 4, rec.shape)) / 255.0, 0, 1)
+    return (pts, colors0, normals0), (rec, colors1, normals1)
+
+
+def run_tpu(origin, reconst):
+    import jax
+    import jax.numpy as jnp
+    from open_pcc_metric_tpu.cloud import Cloud
+    from open_pcc_metric_tpu.ops.fused import fused_evaluate
+
+    a = Cloud.from_numpy(*[origin[0]], colors=origin[1], normals=origin[2],
+                         dtype=jnp.float32)
+    b = Cloud.from_numpy(*[reconst[0]], colors=reconst[1], normals=reconst[2],
+                         dtype=jnp.float32)
+    kwargs = dict(color_scheme="ycc", point_to_plane=True, d2_mode="pc_error")
+
+    t0 = time.perf_counter()
+    result = fused_evaluate(a, b, **kwargs)  # compile warm-up
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        result = fused_evaluate(a, b, **kwargs)
+        times.append(time.perf_counter() - t0)
+    return result, float(np.median(times)), compile_s
+
+
+def run_cpu_baseline(origin, reconst):
+    """Reference-equivalent full suite on CPU (scipy cKDTree, float64)."""
+    from scipy.spatial import cKDTree
+    from open_pcc_metric_tpu.ops.obb import minimal_obb_extent
+
+    pts0, col0, nrm0 = origin
+    pts1, col1, nrm1 = reconst
+    t0 = time.perf_counter()
+
+    tree1 = cKDTree(pts1)
+    d0, i0 = tree1.query(pts0, k=1, workers=-1)
+    tree0 = cKDTree(pts0)
+    d1, i1 = tree0.query(pts1, k=1, workers=-1)
+    dself, _ = tree0.query(pts0, k=2, workers=-1)
+    boundary = dself[:, 1]
+
+    extent = minimal_obb_extent(pts0)
+    peak = extent.max()
+    mse_l, mse_r = (d0**2).mean(), (d1**2).mean()
+    _ = 10 * np.log10(peak**2 / np.array([mse_l, mse_r]))
+    _ = max((d0**2).max(), (d1**2).max())
+    _ = boundary.min(), boundary.max()
+
+    err0 = pts0 - pts1[i0]
+    err1 = pts1 - pts0[i1]
+    p0 = (err0 * nrm1[i0]).sum(1) ** 2
+    p1 = (err1 * nrm0[i1]).sum(1) ** 2
+    _ = p0.mean(), p1.mean(), p0.max(), p1.max()
+
+    m = np.array([[0.2126, 0.7152, 0.0722],
+                  [-0.1146, -0.3854, 0.5],
+                  [0.5, -0.4542, -0.0458]])
+    diff0 = (col0 @ m.T) - (col1[i0] @ m.T)
+    diff1 = (col1 @ m.T) - (col0[i1] @ m.T)
+    _ = (diff0**2).mean(0), (diff1**2).mean(0)
+
+    return time.perf_counter() - t0
+
+
+def main():
+    origin, reconst = make_clouds(N_TARGET)
+    n_total = origin[0].shape[0] + reconst[0].shape[0]
+
+    if os.path.exists(_CACHE):
+        with open(_CACHE) as f:
+            cache = json.load(f)
+        cpu_s = cache.get("cpu_seconds") if cache.get("n_total") == n_total else None
+    else:
+        cpu_s = None
+    if cpu_s is None:
+        cpu_s = run_cpu_baseline(origin, reconst)
+        with open(_CACHE, "w") as f:
+            json.dump({"n_total": n_total, "cpu_seconds": cpu_s}, f)
+
+    result, tpu_s, compile_s = run_tpu(origin, reconst)
+
+    mpts = n_total / tpu_s / 1e6
+    cpu_mpts = n_total / cpu_s / 1e6
+    print(json.dumps({
+        "metric": "full symmetric D1+D2+ycc suite throughput (Mpoints/sec/chip)",
+        "value": round(mpts, 3),
+        "unit": "Mpoints/sec/chip",
+        "vs_baseline": round(mpts / cpu_mpts, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,248 @@
+"""Fused single-jit metric evaluation core.
+
+This is the TPU-first collapse of the reference's "CloudPair precompute +
+lazy metric DAG + memo" (SURVEY §7 key design decision): one jit-compiled
+function sweeps both NN directions, the intra-origin self-NN, (optionally)
+normal estimation, and accumulates every reduction the metric table needs —
+sums of squared errors, running maxes (Hausdorff), per-channel colour SSE on
+gathered neighbours. What the reference computes in six separate passes
+(reference: cloud_pair.py:54-80 + metric.py) falls out of one compiled
+program; only O(1) scalars leave the device. The host then applies the OBB
+peak and log10s (ops/obb.py stays host-side by design).
+
+All arrays are padded and masked by traced valid counts, so frames of
+different sizes within one padded bucket share a single compilation.
+"""
+from __future__ import annotations
+
+import functools
+import typing
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import nn as nn_ops
+from . import normals as normal_ops
+from .color import get_color_peak, transform_colors
+from .obb import minimal_obb_extent
+
+
+def _masked_sum(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Two-stage masked sum (see metric._stable_sum rationale)."""
+    x = jnp.where(mask if x.ndim == 1 else mask[:, None], x, 0)
+    n = x.shape[0]
+    chunk = 1024
+    if n <= chunk:
+        return jnp.sum(x, axis=0)
+    pad = (-n) % chunk
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+    return jnp.sum(jnp.sum(x.reshape(-1, chunk, *x.shape[1:]), axis=1), axis=0)
+
+
+def _masked_max(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    big_neg = jnp.asarray(-jnp.inf, x.dtype)
+    return jnp.max(jnp.where(mask if x.ndim == 1 else mask[:, None], x, big_neg), axis=0)
+
+
+def _masked_min(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    return jnp.min(jnp.where(mask, x, jnp.inf), axis=0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "color_scheme",
+        "point_to_plane",
+        "d2_mode",
+        "with_boundary",
+        "backend",
+    ),
+)
+def pair_stats(
+    a_pts: jnp.ndarray,
+    b_pts: jnp.ndarray,
+    n_a: jnp.ndarray,
+    n_b: jnp.ndarray,
+    a_col: typing.Optional[jnp.ndarray] = None,
+    b_col: typing.Optional[jnp.ndarray] = None,
+    a_nrm: typing.Optional[jnp.ndarray] = None,
+    b_nrm: typing.Optional[jnp.ndarray] = None,
+    color_scheme: typing.Optional[str] = None,
+    point_to_plane: bool = False,
+    d2_mode: str = "reference",
+    with_boundary: bool = True,
+    backend: str = "jnp",
+) -> typing.Dict[str, jnp.ndarray]:
+    """One-pass device-side reductions for the full metric suite.
+
+    Returns a dict of scalars/3-vectors:
+      d1_sse/d1_max per direction, self-NN min/max, d2_sse/d2_max per
+      direction (if point_to_plane), per-channel colour SSE and max-sq-diff
+      per direction (if color_scheme).
+    """
+
+    def nn(a, b, exclude_self=False):
+        return nn_ops.nearest_neighbors(a, b, exclude_self=exclude_self,
+                                        backend=backend)
+
+    pa = a_pts.shape[0]
+    pb = b_pts.shape[0]
+    mask_a = jnp.arange(pa) < n_a
+    mask_b = jnp.arange(pb) < n_b
+
+    idx0, d0 = nn(a_pts, b_pts)
+    idx1, d1 = nn(b_pts, a_pts)
+
+    out: typing.Dict[str, jnp.ndarray] = {
+        "n_a": n_a,
+        "n_b": n_b,
+        "d1_sse_l": _masked_sum(d0, mask_a),
+        "d1_sse_r": _masked_sum(d1, mask_b),
+        "d1_max_l": _masked_max(d0, mask_a),
+        "d1_max_r": _masked_max(d1, mask_b),
+    }
+
+    if with_boundary:
+        _, dself = nn(a_pts, a_pts, exclude_self=True)
+        sqrt_self = jnp.sqrt(dself)
+        out["self_min"] = _masked_min(sqrt_self, mask_a)
+        out["self_max"] = _masked_max(sqrt_self, mask_a)
+
+    if point_to_plane:
+        if a_nrm is None:
+            a_nrm = normal_ops.estimate_normals(a_pts)
+        if b_nrm is None:
+            b_nrm = normal_ops.estimate_normals(b_pts)
+        err0 = a_pts - jnp.take(b_pts, idx0, axis=0)
+        err1 = b_pts - jnp.take(a_pts, idx1, axis=0)
+        if d2_mode == "reference":
+            # SURVEY Q3: opposite cloud's normals, positionally indexed.
+            n_for_0 = jnp.take(b_nrm, jnp.arange(pa), axis=0, mode="clip")
+            n_for_1 = jnp.take(a_nrm, jnp.arange(pb), axis=0, mode="clip")
+        else:
+            n_for_0 = jnp.take(b_nrm, idx0, axis=0)
+            n_for_1 = jnp.take(a_nrm, idx1, axis=0)
+        p0 = jnp.sum(err0 * n_for_0, axis=1) ** 2
+        p1 = jnp.sum(err1 * n_for_1, axis=1) ** 2
+        out["d2_sse_l"] = _masked_sum(p0, mask_a)
+        out["d2_sse_r"] = _masked_sum(p1, mask_b)
+        out["d2_max_l"] = _masked_max(p0, mask_a)
+        out["d2_max_r"] = _masked_max(p1, mask_b)
+
+    if color_scheme is not None:
+        t0 = transform_colors(a_col, "rgb", color_scheme)
+        tn0 = transform_colors(jnp.take(b_col, idx0, axis=0), "rgb", color_scheme)
+        t1 = transform_colors(b_col, "rgb", color_scheme)
+        tn1 = transform_colors(jnp.take(a_col, idx1, axis=0), "rgb", color_scheme)
+        diff0 = t0 - tn0
+        diff1 = t1 - tn1
+        out["c_sse_l"] = _masked_sum(diff0**2, mask_a)
+        out["c_sse_r"] = _masked_sum(diff1**2, mask_b)
+        hd0, hd1 = diff0, diff1
+        if color_scheme == "rgb":  # SURVEY Q5 quirk
+            hd0 = 255.0 * hd0
+            hd1 = 255.0 * hd1
+        out["c_max_l"] = _masked_max(hd0**2, mask_a)
+        out["c_max_r"] = _masked_max(hd1**2, mask_b)
+
+    return out
+
+
+def finalize_stats(
+    stats: typing.Dict[str, typing.Any],
+    extent_peak: float,
+    color_scheme: typing.Optional[str] = None,
+    point_to_plane: bool = False,
+) -> typing.Dict[str, np.float64]:
+    """Host epilogue: MSEs, PSNRs and symmetric selections from raw sums.
+
+    Reproduces the reference's peak conventions (SURVEY Q4): geometric PSNR
+    peak = max OBB extent; Hausdorff PSNR peak = max intra-origin NN distance.
+    """
+    s = {k: np.asarray(v, dtype=np.float64) for k, v in stats.items()}
+    n_a, n_b = float(s["n_a"]), float(s["n_b"])
+    out: typing.Dict[str, typing.Any] = {}
+    with np.errstate(divide="ignore"):
+        out["min_sqrt"] = np.float64(s["self_min"])
+        out["max_sqrt"] = np.float64(s["self_max"])
+        mse_l, mse_r = s["d1_sse_l"] / n_a, s["d1_sse_r"] / n_b
+        out["geo_mse_left"], out["geo_mse_right"] = mse_l, mse_r
+        out["geo_mse_sym"] = max(mse_l, mse_r)
+        psnr_l = 10 * np.log10(extent_peak**2 / mse_l)
+        psnr_r = 10 * np.log10(extent_peak**2 / mse_r)
+        out["geo_psnr_left"], out["geo_psnr_right"] = psnr_l, psnr_r
+        out["geo_psnr_sym"] = min(psnr_l, psnr_r)
+        out["geo_hausdorff_left"] = s["d1_max_l"]
+        out["geo_hausdorff_right"] = s["d1_max_r"]
+        out["geo_hausdorff_sym"] = max(s["d1_max_l"], s["d1_max_r"])
+        hpeak2 = out["max_sqrt"] ** 2
+        out["geo_hausdorff_psnr_left"] = 10 * np.log10(hpeak2 / s["d1_max_l"])
+        out["geo_hausdorff_psnr_right"] = 10 * np.log10(hpeak2 / s["d1_max_r"])
+        out["geo_hausdorff_psnr_sym"] = min(
+            out["geo_hausdorff_psnr_left"], out["geo_hausdorff_psnr_right"]
+        )
+        if point_to_plane:
+            d2_l, d2_r = s["d2_sse_l"] / n_a, s["d2_sse_r"] / n_b
+            out["d2_mse_left"], out["d2_mse_right"] = d2_l, d2_r
+            out["d2_mse_sym"] = max(d2_l, d2_r)
+            dp_l = 10 * np.log10(extent_peak**2 / d2_l)
+            dp_r = 10 * np.log10(extent_peak**2 / d2_r)
+            out["d2_psnr_left"], out["d2_psnr_right"] = dp_l, dp_r
+            out["d2_psnr_sym"] = min(dp_l, dp_r)
+            out["d2_hausdorff_left"] = s["d2_max_l"]
+            out["d2_hausdorff_right"] = s["d2_max_r"]
+            out["d2_hausdorff_sym"] = max(s["d2_max_l"], s["d2_max_r"])
+            out["d2_hausdorff_psnr_left"] = 10 * np.log10(hpeak2 / s["d2_max_l"])
+            out["d2_hausdorff_psnr_right"] = 10 * np.log10(hpeak2 / s["d2_max_r"])
+            out["d2_hausdorff_psnr_sym"] = min(
+                out["d2_hausdorff_psnr_left"], out["d2_hausdorff_psnr_right"]
+            )
+        if color_scheme is not None:
+            cm_l, cm_r = s["c_sse_l"] / n_a, s["c_sse_r"] / n_b
+            out["color_mse_left"], out["color_mse_right"] = cm_l, cm_r
+            out["color_mse_sym"] = max([cm_l, cm_r], key=np.linalg.norm)
+            cpeak = get_color_peak(color_scheme)
+            cp_l = 10 * np.log10(cpeak**2 / cm_l)
+            cp_r = 10 * np.log10(cpeak**2 / cm_r)
+            out["color_psnr_left"], out["color_psnr_right"] = cp_l, cp_r
+            out["color_psnr_sym"] = min([cp_l, cp_r], key=np.linalg.norm)
+            out["color_hausdorff_left"] = s["c_max_l"]
+            out["color_hausdorff_right"] = s["c_max_r"]
+            out["color_hausdorff_sym"] = max(
+                [s["c_max_l"], s["c_max_r"]], key=np.linalg.norm
+            )
+    return out
+
+
+def fused_evaluate(
+    a, b, color_scheme=None, point_to_plane=False, d2_mode="reference",
+    backend: str = "auto",
+) -> typing.Dict[str, np.float64]:
+    """Full fused evaluation of a Cloud pair (bench / batch fast path)."""
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if point_to_plane and d2_mode == "reference" and a.n > b.n:
+        raise IndexError(
+            "reference D2 mode requires n_origin <= n_reconst "
+            f"(got {a.n} > {b.n}); use d2_mode='pc_error'"
+        )
+    stats = pair_stats(
+        a.points,
+        b.points,
+        jnp.asarray(a.n),
+        jnp.asarray(b.n),
+        a_col=a.colors,
+        b_col=b.colors,
+        a_nrm=a.normals,
+        b_nrm=b.normals,
+        color_scheme=color_scheme,
+        point_to_plane=point_to_plane,
+        d2_mode=d2_mode,
+        backend=backend,
+    )
+    peak = float(np.max(minimal_obb_extent(a.valid_points())))
+    return finalize_stats(
+        stats, peak, color_scheme=color_scheme, point_to_plane=point_to_plane
+    )

@@ -43,10 +43,16 @@ def nn_chunked(
     exclude_self: bool = False,
     chunk_a: int = 256,
     chunk_b: int = 1024,
+    a_offset: typing.Union[int, jnp.ndarray] = 0,
+    b_offset: typing.Union[int, jnp.ndarray] = 0,
 ) -> typing.Tuple[jnp.ndarray, jnp.ndarray]:
     """Tiled brute-force 1-NN: for each row of ``a`` the nearest row of ``b``.
 
-    Returns ``(idx int32 (Na,), dist_sq (Na,) in a's dtype)``.
+    Returns ``(idx int32 (Na,), dist_sq (Na,) in a's dtype)``; ``idx`` is
+    LOCAL to ``b``. ``a_offset``/``b_offset`` are the global row offsets of
+    the two blocks — with ``exclude_self`` the masked diagonal is
+    ``a_offset + i == b_offset + j``, which lets ring-sharded self-search
+    exclude the true global diagonal (parallel/sharded.py).
     """
     na, _ = a_points.shape
     nb, _ = b_points.shape
@@ -66,8 +72,8 @@ def nn_chunked(
             diff = a_chunk[:, None, :] - b_tile[None, :, :]
             d = jnp.sum(diff * diff, axis=-1)  # (ca, cb)
             if exclude_self:
-                rows = a_base + jnp.arange(ca, dtype=jnp.int32)[:, None]
-                cols = b_base + jnp.arange(cb, dtype=jnp.int32)[None, :]
+                rows = a_offset + a_base + jnp.arange(ca, dtype=jnp.int32)[:, None]
+                cols = b_offset + b_base + jnp.arange(cb, dtype=jnp.int32)[None, :]
                 d = jnp.where(rows == cols, big, d)
             tile_min = jnp.min(d, axis=1)
             tile_arg = jnp.argmin(d, axis=1).astype(jnp.int32) + b_base

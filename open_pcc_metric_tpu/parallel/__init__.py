@@ -1,0 +1,15 @@
+from .sharded import (
+    make_mesh,
+    ring_nn,
+    ring_knn_coords,
+    ring_normals,
+    sharded_pair_stats,
+)
+
+__all__ = [
+    "make_mesh",
+    "ring_nn",
+    "ring_knn_coords",
+    "ring_normals",
+    "sharded_pair_stats",
+]

@@ -1,0 +1,182 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh (SURVEY §4d)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from open_pcc_metric_tpu.cloud import Cloud
+from open_pcc_metric_tpu.parallel import (
+    make_mesh,
+    ring_nn,
+    ring_normals,
+    sharded_pair_stats,
+)
+from open_pcc_metric_tpu.ops.fused import pair_stats, finalize_stats
+from open_pcc_metric_tpu.ops.obb import minimal_obb_extent
+
+import oracle
+
+
+def _padded(pts, p, dtype=jnp.float64):
+    return Cloud.from_numpy(pts, dtype=dtype, pad_to=p)
+
+
+def test_mesh_shapes():
+    m = make_mesh(8, dp=2)
+    assert m.devices.shape == (2, 4)
+    assert m.axis_names == ("frames", "points")
+
+
+@pytest.mark.parametrize("dp", [1, 2])
+def test_ring_nn_matches_oracle(dp):
+    mesh = make_mesh(8, dp=dp)
+    sp = 8 // dp
+    rng = np.random.default_rng(0)
+    na, nb = 600, 500
+    p = 1024  # common padded size; 1024 % sp == 0
+    a = _padded(rng.uniform(0, 100, (na, 3)), p)
+    b = _padded(rng.uniform(0, 100, (nb, 3)), p)
+
+    def fn(ap, bp):
+        d, i, _ = ring_nn(ap[0], bp[0])
+        return d[None], i[None]
+
+    mapped = jax.jit(
+        jax.shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(P(None, "points"), P(None, "points")),
+            out_specs=P(None, "points"), check_vma=False,
+        )
+    )
+    # add a dummy leading axis of size 1 replicated over "frames"
+    d, i = mapped(a.points[None], b.points[None])
+    d, i = np.asarray(d)[0], np.asarray(i)[0]
+    oidx, od = oracle.nn_bruteforce(
+        np.asarray(a.points[:na]), np.asarray(b.points[:nb])
+    )
+    np.testing.assert_array_equal(i[:na], oidx)
+    np.testing.assert_allclose(d[:na], od, rtol=1e-12)
+
+
+def test_ring_nn_self_exclusion():
+    mesh = make_mesh(8, dp=1)
+    rng = np.random.default_rng(1)
+    n = 700
+    a = _padded(rng.uniform(0, 50, (n, 3)), 1024)
+
+    def fn(ap):
+        d, i, _ = ring_nn(ap[0], ap[0], exclude_self=True)
+        return d[None], i[None]
+
+    mapped = jax.jit(
+        jax.shard_map(
+            fn, mesh=mesh, in_specs=(P(None, "points"),),
+            out_specs=P(None, "points"), check_vma=False,
+        )
+    )
+    d, i = mapped(a.points[None])
+    i = np.asarray(i)[0]
+    oidx, od = oracle.nn_bruteforce(
+        np.asarray(a.points[:n]), np.asarray(a.points[:n]), exclude_self=True
+    )
+    np.testing.assert_array_equal(i[:n], oidx)
+
+
+def test_ring_normals_match_single_chip():
+    mesh = make_mesh(8, dp=1)
+    rng = np.random.default_rng(2)
+    xy = rng.uniform(0, 10, (900, 2))
+    pts = np.concatenate([xy, 0.25 * np.ones((900, 1))], axis=1)
+    a = _padded(pts, 1024)
+
+    mapped = jax.jit(
+        jax.shard_map(
+            lambda ap: ring_normals(ap[0])[None],
+            mesh=mesh, in_specs=(P(None, "points"),),
+            out_specs=P(None, "points"), check_vma=False,
+        )
+    )
+    normals = np.asarray(mapped(a.points[None]))[0][:900]
+    dots = np.abs(normals @ [0.0, 0.0, 1.0])
+    np.testing.assert_allclose(dots, 1.0, atol=1e-5)
+
+
+@pytest.mark.parametrize("dp,scheme,p2p", [(2, "ycc", False), (1, None, True)])
+def test_sharded_full_step_matches_fused(dp, scheme, p2p):
+    """The 8-device sharded step must reproduce the single-chip fused stats."""
+    mesh = make_mesh(8, dp=dp)
+    rng = np.random.default_rng(3)
+    B = 2
+    p = 1024
+    frames = []
+    for f in range(B):
+        v = rng.normal(size=(700 + 50 * f, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        pts0 = v * 60.0
+        pts1 = pts0 + rng.normal(scale=0.2, size=pts0.shape)
+        c0 = rng.uniform(0, 1, pts0.shape)
+        c1 = rng.uniform(0, 1, pts1.shape)
+        frames.append((pts0, pts1, c0, c1, v))
+
+    a_pts = jnp.stack([_padded(f[0], p).points for f in frames])
+    b_pts = jnp.stack([_padded(f[1], p).points for f in frames])
+    n_a = jnp.asarray([f[0].shape[0] for f in frames])
+    n_b = jnp.asarray([f[1].shape[0] for f in frames])
+    def stack_padded(arrs):
+        return jnp.stack(
+            [jnp.asarray(np.pad(x, ((0, p - x.shape[0]), (0, 0))))
+             for x in arrs]
+        )
+
+    kw = {}
+    if scheme is not None:
+        kw["a_col"] = stack_padded([f[2] for f in frames])
+        kw["b_col"] = stack_padded([f[3] for f in frames])
+    if p2p:
+        kw["a_nrm"] = stack_padded([f[4] for f in frames])
+        kw["b_nrm"] = stack_padded(
+            [f[1] / np.linalg.norm(f[1], axis=1, keepdims=True)
+             for f in frames]
+        )
+
+    stats = sharded_pair_stats(
+        mesh, a_pts, b_pts, n_a, n_b,
+        color_scheme=scheme, point_to_plane=p2p, **kw
+    )
+
+    for f in range(B):
+        single = pair_stats(
+            a_pts[f], b_pts[f], n_a[f], n_b[f],
+            a_col=kw.get("a_col")[f] if scheme else None,
+            b_col=kw.get("b_col")[f] if scheme else None,
+            a_nrm=kw.get("a_nrm")[f] if p2p else None,
+            b_nrm=kw.get("b_nrm")[f] if p2p else None,
+            color_scheme=scheme, point_to_plane=p2p,
+        )
+        for key, val in single.items():
+            np.testing.assert_allclose(
+                np.asarray(stats[key])[f], np.asarray(val),
+                rtol=1e-10, err_msg=key,
+            )
+
+
+def test_finalize_matches_oracle_through_sharded_path():
+    mesh = make_mesh(8, dp=1)
+    rng = np.random.default_rng(4)
+    pts0 = rng.uniform(0, 100, (800, 3))
+    pts1 = rng.uniform(0, 100, (750, 3))
+    p = 1024
+    a = _padded(pts0, p)
+    b = _padded(pts1, p)
+    stats = sharded_pair_stats(
+        mesh, a.points[None], b.points[None],
+        jnp.asarray([800]), jnp.asarray([750]),
+    )
+    peak = float(np.max(minimal_obb_extent(pts0)))
+    final = finalize_stats({k: np.asarray(v)[0] for k, v in stats.items()}, peak)
+    ref = oracle.full_metrics(pts0, pts1, hausdorff=True)
+    for key in ("geo_mse_left", "geo_mse_right", "geo_psnr_sym",
+                "min_sqrt", "max_sqrt", "geo_hausdorff_sym"):
+        np.testing.assert_allclose(final[key], ref[key], rtol=1e-9, err_msg=key)
