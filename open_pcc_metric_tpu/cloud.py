@@ -61,6 +61,10 @@ class Cloud:
     n: int
     colors: typing.Optional[jnp.ndarray] = None
     normals: typing.Optional[jnp.ndarray] = None
+    # Original float64 host copy of the valid points (kept by from_numpy).
+    # Enables free host-side preprocessing — Morton grid builds at load time,
+    # minimal-OBB hulls — without a device round-trip.
+    host_points: typing.Optional[np.ndarray] = None
 
     @property
     def padded_size(self) -> int:
@@ -110,11 +114,50 @@ class Cloud:
             nbuf[:n] = normals
             jnormals = jnp.asarray(nbuf, dtype=dtype)
 
-        return Cloud(points=jpoints, n=n, colors=jcolors, normals=jnormals)
+        return Cloud(points=jpoints, n=n, colors=jcolors, normals=jnormals,
+                     host_points=points)
 
     def valid_points(self) -> np.ndarray:
         """Valid points as a host numpy array (for host-side algorithms: OBB, IO)."""
+        if self.host_points is not None:
+            return self.host_points
         return np.asarray(self.points[: self.n])
+
+    def get_obb_extent(self) -> np.ndarray:
+        """Cached minimal-OBB extent (depends only on this cloud's points;
+        shared across every pair this cloud participates in, e.g. the
+        reference side of a QP sweep)."""
+        e = getattr(self, "_obb_extent", None)
+        if e is None:
+            from .ops.obb import minimal_obb_extent
+
+            e = minimal_obb_extent(self.valid_points())
+            self._obb_extent = e
+        return e
+
+    def get_grid(self):
+        """Lazily-built, cached Morton chunk grid of this cloud.
+
+        Amortised across the cross/reverse/self NN passes of one evaluation,
+        repeated evaluations, and QP sweeps that share a reference cloud
+        (the reference tool rebuilds its KD-trees per pair instead —
+        reference cloud_pair.py:65).
+        """
+        g = getattr(self, "_grid", None)
+        if g is None:
+            from .ops.grid import build_grid, build_grid_host
+
+            if self.host_points is not None:
+                g = build_grid_host(
+                    self.host_points, self.padded_size,
+                    dtype=self.points.dtype,
+                )
+            else:
+                import jax.numpy as _jnp
+
+                g = build_grid(self.points, _jnp.asarray(self.n))
+            self._grid = g
+        return g
 
     def valid_mask(self) -> jnp.ndarray:
         idx = jnp.arange(self.padded_size)

@@ -57,8 +57,20 @@ class CloudPair:
         self._knn_normals = knn_normals
         self._nn_cache: dict = {}
         self._normals_cache: dict = {}
+        self._grid_cache: dict = {}
         self._boundary_cache = None
         self._extent_cache = None
+
+    def _use_pruned(self, a: Cloud, b: Cloud) -> bool:
+        if self._backend == "pruned":
+            return True
+        return self._backend == "auto" and max(
+            a.padded_size, b.padded_size
+        ) >= nn_ops.PRUNE_THRESHOLD
+
+    def _grid(self, index: int):
+        """Morton chunk grid of clouds[index] (cached on the Cloud itself)."""
+        return self.clouds[index].get_grid()
 
     # ------------------------------------------------------------ core state
 
@@ -78,9 +90,17 @@ class CloudPair:
         if direction not in self._nn_cache:
             a = self.clouds[direction]
             b = self.clouds[1 - direction]
-            self._nn_cache[direction] = nn_ops.nearest_neighbors(
-                a.points, b.points, backend=self._backend
-            )
+            if self._use_pruned(a, b):
+                self._nn_cache[direction] = nn_ops.nearest_neighbors(
+                    a.points, b.points, backend="pruned",
+                    n_a=a.n, n_b=b.n,
+                    grids=(self._grid(direction), self._grid(1 - direction)),
+                )
+            else:
+                self._nn_cache[direction] = nn_ops.nearest_neighbors(
+                    a.points, b.points, backend=self._backend,
+                    n_a=a.n, n_b=b.n,
+                )
         return self._nn_cache[direction]
 
     def _normals(self, index: int) -> jnp.ndarray:
@@ -91,7 +111,7 @@ class CloudPair:
                 self._normals_cache[index] = c.normals
             else:
                 self._normals_cache[index] = normal_ops.estimate_normals(
-                    c.points, k=self._knn_normals
+                    c.points, k=self._knn_normals, n_valid=c.n
                 )
         return self._normals_cache[index]
 
@@ -123,19 +143,22 @@ class CloudPair:
         """Intra-origin plain (non-squared) NN distances (SURVEY Q6)."""
         if self._boundary_cache is None:
             c = self.clouds[0]
-            _, d = nn_ops.nearest_neighbors(
-                c.points, c.points, exclude_self=True, backend=self._backend
-            )
+            if self._use_pruned(c, c):
+                _, d = nn_ops.nearest_neighbors(
+                    c.points, c.points, exclude_self=True, backend="pruned",
+                    n_a=c.n, n_b=c.n, grids=(self._grid(0), self._grid(0)),
+                )
+            else:
+                _, d = nn_ops.nearest_neighbors(
+                    c.points, c.points, exclude_self=True,
+                    backend=self._backend, n_a=c.n, n_b=c.n,
+                )
             self._boundary_cache = jnp.sqrt(d[: c.n])
         return self._boundary_cache
 
     def get_extent(self) -> np.ndarray:
         """Minimal-OBB extent of the ORIGIN cloud only (SURVEY Q4)."""
-        if self._extent_cache is None:
-            self._extent_cache = obb_ops.minimal_obb_extent(
-                self.clouds[0].valid_points()
-            )
-        return self._extent_cache
+        return self.clouds[0].get_obb_extent()
 
     def get_left_colors(self) -> jnp.ndarray:
         return self._colors(0)

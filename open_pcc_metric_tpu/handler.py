@@ -64,10 +64,13 @@ import click
 @click.option(
     "--backend",
     required=False,
-    type=click.Choice(["auto", "pallas", "jnp"]),
+    type=click.Choice(["auto", "pruned", "pallas", "jnp"]),
     default="auto",
     show_default=True,
-    help="NN kernel backend (auto = Pallas on TPU, jnp elsewhere).",
+    help=(
+        "NN backend (auto = Morton-pruned for large clouds, else Pallas "
+        "on TPU / jnp elsewhere)."
+    ),
 )
 def cli(
     ocloud: str,

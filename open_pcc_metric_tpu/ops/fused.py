@@ -58,6 +58,8 @@ def _masked_min(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         "d2_mode",
         "with_boundary",
         "backend",
+        "prune_cap",
+        "prune_fallback",
     ),
 )
 def pair_stats(
@@ -69,23 +71,50 @@ def pair_stats(
     b_col: typing.Optional[jnp.ndarray] = None,
     a_nrm: typing.Optional[jnp.ndarray] = None,
     b_nrm: typing.Optional[jnp.ndarray] = None,
+    ga=None,
+    gb=None,
     color_scheme: typing.Optional[str] = None,
     point_to_plane: bool = False,
     d2_mode: str = "reference",
     with_boundary: bool = True,
     backend: str = "jnp",
+    prune_cap: int = 32,
+    prune_fallback: int = 256,
 ) -> typing.Dict[str, jnp.ndarray]:
     """One-pass device-side reductions for the full metric suite.
 
     Returns a dict of scalars/3-vectors:
       d1_sse/d1_max per direction, self-NN min/max, d2_sse/d2_max per
       direction (if point_to_plane), per-channel colour SSE and max-sq-diff
-      per direction (if color_scheme).
+      per direction (if color_scheme). With backend="pruned" an extra
+      ``nn_overflow`` flag reports certificate overflow (the caller must
+      re-run with larger prune_cap/prune_fallback for exact results).
     """
+    overflows: list = []
+    if backend == "pruned":
+        from .grid import build_grid
+        from .nn_pruned import nn_pruned_sorted, unsort_nn_result
 
-    def nn(a, b, exclude_self=False):
-        return nn_ops.nearest_neighbors(a, b, exclude_self=exclude_self,
-                                        backend=backend)
+        if ga is None:
+            ga = build_grid(a_pts, n_a)
+        if gb is None:
+            gb = build_grid(b_pts, n_b)
+
+        def nn(a, b, exclude_self=False):
+            gq = ga if a is a_pts else gb
+            gs = ga if b is a_pts else gb
+            nq = n_a if a is a_pts else n_b
+            d_s, i_s, ov = nn_pruned_sorted(
+                gq, gs, nq, exclude_self=exclude_self,
+                cap=prune_cap, fallback_tiles=prune_fallback,
+            )
+            overflows.append(ov)
+            d, idx = unsort_nn_result(gq, gs, d_s, i_s)
+            return idx, d
+    else:
+        def nn(a, b, exclude_self=False):
+            return nn_ops.nearest_neighbors(a, b, exclude_self=exclude_self,
+                                            backend=backend)
 
     pa = a_pts.shape[0]
     pb = b_pts.shape[0]
@@ -111,10 +140,12 @@ def pair_stats(
         out["self_max"] = _masked_max(sqrt_self, mask_a)
 
     if point_to_plane:
-        if a_nrm is None:
-            a_nrm = normal_ops.estimate_normals(a_pts)
-        if b_nrm is None:
-            b_nrm = normal_ops.estimate_normals(b_pts)
+        if a_nrm is None or b_nrm is None:
+            raise ValueError(
+                "pair_stats requires precomputed normals for point_to_plane "
+                "(use ops.normals.estimate_normals or fused_evaluate, which "
+                "estimates them host-side with escalation support)"
+            )
         err0 = a_pts - jnp.take(b_pts, idx0, axis=0)
         err1 = b_pts - jnp.take(a_pts, idx1, axis=0)
         if d2_mode == "reference":
@@ -146,6 +177,9 @@ def pair_stats(
             hd1 = 255.0 * hd1
         out["c_max_l"] = _masked_max(hd0**2, mask_a)
         out["c_max_r"] = _masked_max(hd1**2, mask_b)
+
+    if overflows:
+        out["nn_overflow"] = functools.reduce(jnp.logical_or, overflows)
 
     return out
 
@@ -222,27 +256,54 @@ def fused_evaluate(
 ) -> typing.Dict[str, np.float64]:
     """Full fused evaluation of a Cloud pair (bench / batch fast path)."""
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+        if max(a.padded_size, b.padded_size) >= nn_ops.PRUNE_THRESHOLD:
+            backend = "pruned"
+        else:
+            backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
     if point_to_plane and d2_mode == "reference" and a.n > b.n:
         raise IndexError(
             "reference D2 mode requires n_origin <= n_reconst "
             f"(got {a.n} > {b.n}); use d2_mode='pc_error'"
         )
-    stats = pair_stats(
-        a.points,
-        b.points,
-        jnp.asarray(a.n),
-        jnp.asarray(b.n),
-        a_col=a.colors,
-        b_col=b.colors,
-        a_nrm=a.normals,
-        b_nrm=b.normals,
-        color_scheme=color_scheme,
-        point_to_plane=point_to_plane,
-        d2_mode=d2_mode,
-        backend=backend,
-    )
-    peak = float(np.max(minimal_obb_extent(a.valid_points())))
+    a_nrm, b_nrm = a.normals, b.normals
+    if point_to_plane:
+        if a_nrm is None:
+            a_nrm = normal_ops.estimate_normals(a.points, n_valid=a.n)
+        if b_nrm is None:
+            b_nrm = normal_ops.estimate_normals(b.points, n_valid=b.n)
+    ga = gb = None
+    if backend == "pruned":
+        ga = a.get_grid()
+        gb = b.get_grid()
+    cap, fallback = 32, 256
+    while True:
+        stats = pair_stats(
+            a.points,
+            b.points,
+            jnp.asarray(a.n),
+            jnp.asarray(b.n),
+            a_col=a.colors,
+            b_col=b.colors,
+            a_nrm=a_nrm,
+            b_nrm=b_nrm,
+            ga=ga,
+            gb=gb,
+            color_scheme=color_scheme,
+            point_to_plane=point_to_plane,
+            d2_mode=d2_mode,
+            backend=backend,
+            prune_cap=cap,
+            prune_fallback=fallback,
+        )
+        max_tiles = max(a.padded_size, b.padded_size) // 256
+        if (
+            "nn_overflow" not in stats
+            or not bool(stats["nn_overflow"])
+            or fallback >= max_tiles
+        ):
+            break
+        cap, fallback = cap * 4, fallback * 4
+    peak = float(np.max(a.get_obb_extent()))
     return finalize_stats(
         stats, peak, color_scheme=color_scheme, point_to_plane=point_to_plane
     )

@@ -1,0 +1,209 @@
+"""Bound-pruned exact k-NN over Morton chunk grids (normal estimation at scale).
+
+Same structure as ops/nn_pruned.py with a k-best selection: each 256-query
+tile refines its ``cap`` lowest-lower-bound chunks with ``lax.top_k``, then
+certifies itself with ub = max over valid queries of the k-th refined
+distance. Tiles failing the certificate are re-solved exactly by a running
+top-k merge over ALL chunks (budgeted fallback + escalation, like 1-NN).
+
+Replaces the reference's per-point 30-NN FLANN queries inside
+``estimate_normals`` (reference: open_pcc_metric/cloud_pair.py:61-64) for
+large clouds; returns ORIGINAL indices sorted ascending by distance.
+
+Under exact distance ties the selected neighbour SET can differ from the
+brute-force path (top_k breaks ties by candidate position, which here is
+Morton order) — distances are identical, and the downstream covariance is
+affected only when equidistant neighbours differ, i.e. on perfectly regular
+lattices.
+"""
+from __future__ import annotations
+
+import functools
+import typing
+
+import jax
+import jax.numpy as jnp
+
+from .grid import CHUNK, ChunkGrid, bbox_lower_bounds, build_grid
+from .nn_pruned import _pairwise_sq, _pick_batch, INT_MAX
+
+
+def _merge_topk(run_d, run_i, d, i, k):
+    cand_d = jnp.concatenate([run_d, d], axis=1)
+    cand_i = jnp.concatenate([run_i, i], axis=1)
+    top_negd, pos = jax.lax.top_k(-cand_d, k)
+    return -top_negd, jnp.take_along_axis(cand_i, pos, axis=1)
+
+
+def _bruteforce_rows_knn(q, qrows, b_chunks, b_perm, k, exclude_self):
+    """Exact k-NN of R gathered query rows vs ALL b chunks (top-k merge scan)."""
+    r = q.shape[0]
+    dtype = q.dtype
+    ncb = b_chunks.shape[0]
+    g = _pick_batch(ncb, 8)
+    width = g * CHUNK
+
+    def step(carry, inp):
+        run_d, run_i = carry
+        bc, cbase, borig = inp
+        d = _pairwise_sq(q, bc)  # (r, width)
+        if exclude_self:
+            gcol = cbase + jnp.arange(width, dtype=jnp.int32)
+            d = jnp.where(qrows[:, None] == gcol[None, :], jnp.inf, d)
+        run_d, run_i = _merge_topk(
+            run_d, run_i, d, jnp.broadcast_to(borig[None, :], d.shape), k
+        )
+        return (run_d, run_i), None
+
+    init = (
+        jnp.full((r, k), jnp.inf, dtype),
+        jnp.full((r, k), INT_MAX, jnp.int32),
+    )
+    cbases = jnp.arange(ncb // g, dtype=jnp.int32) * width
+    (run_d, run_i), _ = jax.lax.scan(
+        step, init,
+        (b_chunks.reshape(ncb // g, width, 3), cbases,
+         b_perm.reshape(ncb // g, width)),
+    )
+    return run_d, run_i
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "exclude_self", "cap", "fallback_tiles")
+)
+def knn_pruned_sorted(
+    ga: ChunkGrid,
+    gb: ChunkGrid,
+    n_a: jnp.ndarray,
+    k: int,
+    exclude_self: bool = False,
+    cap: int = 32,
+    fallback_tiles: int = 128,
+) -> typing.Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """k-NN in Morton-sorted query order; ORIGINAL neighbour indices.
+
+    Returns ``(dist_sq (P, k), idx (P, k), overflow)``, ascending by distance.
+    """
+    dtype = ga.points.dtype
+    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    nta = ga.points.shape[0] // CHUNK
+    ncb = gb.n_chunks
+    cap = min(cap, ncb)
+
+    a_tiles = ga.points.reshape(nta, CHUNK, 3)
+    b_chunks = gb.points.reshape(ncb, CHUNK, 3)
+    b_perm_chunks = gb.perm.reshape(ncb, CHUNK)
+    valid_t = (jnp.arange(nta * CHUNK) < n_a).reshape(nta, CHUNK)
+
+    a_lo = jnp.min(jnp.where(valid_t[:, :, None], a_tiles, big), axis=1)
+    a_hi = jnp.max(jnp.where(valid_t[:, :, None], a_tiles, -big), axis=1)
+    lb = bbox_lower_bounds(a_lo, a_hi, gb.bbox_lo, gb.bbox_hi)
+
+    _, cand = jax.lax.top_k(-lb, cap)
+    cand = cand.astype(jnp.int32)
+    tbases = jnp.arange(nta, dtype=jnp.int32)
+    batch = _pick_batch(nta, 8)  # k-wide temporaries: smaller tile batches
+
+    def refine_body(args):
+        q, cidx, tbase = args
+        bt = q.shape[0]
+        cand_pts = b_chunks[cidx].reshape(bt, cap * CHUNK, 3)
+        d = _pairwise_sq(q, cand_pts)  # (bt, CHUNK, cap*CHUNK)
+        borig = jnp.broadcast_to(
+            b_perm_chunks[cidx].reshape(bt, 1, cap * CHUNK), d.shape
+        )
+        if exclude_self:
+            gcol = (cidx[:, :, None] * CHUNK
+                    + jnp.arange(CHUNK, dtype=jnp.int32)
+                    ).reshape(bt, 1, cap * CHUNK)
+            grow = (tbase[:, None] * CHUNK
+                    + jnp.arange(CHUNK, dtype=jnp.int32))[:, :, None]
+            d = jnp.where(grow == gcol, jnp.inf, d)
+        top_negd, pos = jax.lax.top_k(-d, k)  # (bt, CHUNK, k)
+        idx = jnp.take_along_axis(borig, pos, axis=2)
+        return -top_negd, idx
+
+    dk, ik = jax.lax.map(
+        refine_body,
+        (
+            a_tiles.reshape(nta // batch, batch, CHUNK, 3),
+            cand.reshape(nta // batch, batch, cap),
+            tbases.reshape(nta // batch, batch),
+        ),
+    )
+    dk = dk.reshape(nta, CHUNK, k)
+    ik = ik.reshape(nta, CHUNK, k)
+
+    # ---- certificate on the k-th distance
+    kth = dk[:, :, k - 1]
+    ub = jnp.max(jnp.where(valid_t, kth, -jnp.inf), axis=1)
+    ub_eff = ub * (1 + 8 * eps) + 8 * eps
+    counts = jnp.sum(lb <= ub_eff[:, None], axis=1).astype(jnp.int32)
+    n_over = jnp.sum(counts > cap)
+    overflow = n_over > fallback_tiles
+
+    ft = min(fallback_tiles, nta)
+    p = nta * CHUNK
+    dk = dk.reshape(p, k)
+    ik = ik.reshape(p, k).astype(jnp.int32)
+    if ft > 0:
+        _, otiles = jax.lax.top_k(counts, ft)
+        otiles = otiles.astype(jnp.int32)
+        oq = a_tiles[otiles].reshape(ft * CHUNK, 3)
+        orows = (otiles[:, None] * CHUNK
+                 + jnp.arange(CHUNK, dtype=jnp.int32)).reshape(ft * CHUNK)
+        fb_d, fb_i = _bruteforce_rows_knn(
+            oq, orows, b_chunks, gb.perm, k, exclude_self
+        )
+        dk = dk.at[orows].set(fb_d)
+        ik = ik.at[orows].set(fb_i)
+
+    return dk, ik, overflow
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "exclude_self", "cap", "fallback_tiles")
+)
+def _knn_pruned_jit(a_points, b_points, n_a, n_b, k, exclude_self, cap,
+                    fallback_tiles):
+    ga = build_grid(a_points, n_a)
+    gb = ga if exclude_self or a_points is b_points else build_grid(
+        b_points, n_b
+    )
+    dk, ik, overflow = knn_pruned_sorted(
+        ga, gb, n_a, k, exclude_self=exclude_self, cap=cap,
+        fallback_tiles=fallback_tiles,
+    )
+    p = a_points.shape[0]
+    inv = jnp.zeros(p, jnp.int32).at[ga.perm].set(
+        jnp.arange(p, dtype=jnp.int32)
+    )
+    return jnp.take(ik, inv, axis=0), jnp.take(dk, inv, axis=0), overflow
+
+
+def knn_pruned(
+    a_points: jnp.ndarray,
+    b_points: jnp.ndarray,
+    n_a: typing.Union[int, jnp.ndarray],
+    n_b: typing.Union[int, jnp.ndarray],
+    k: int,
+    exclude_self: bool = False,
+    cap: int = 32,
+    fallback_tiles: int = 128,
+) -> typing.Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact pruned k-NN in ORIGINAL order with automatic escalation.
+
+    Returns ``(idx int32 (Pa, k), dist_sq (Pa, k))`` ascending by distance.
+    """
+    nta = a_points.shape[0] // CHUNK
+    ncb = b_points.shape[0] // CHUNK
+    while True:
+        idx, d, overflow = _knn_pruned_jit(
+            a_points, b_points, jnp.asarray(n_a), jnp.asarray(n_b), k,
+            exclude_self, cap, fallback_tiles,
+        )
+        if fallback_tiles >= nta or not bool(overflow):
+            return idx, d
+        cap = min(cap * 4, ncb)
+        fallback_tiles = min(fallback_tiles * 4, nta)

@@ -105,20 +105,49 @@ def recompute_dist_sq(
     return jnp.sum(diff * diff, axis=-1)
 
 
+# Above this many padded rows, bound-pruned search beats brute force on every
+# backend; below it, kernel-launch overheads favour the dense paths.
+PRUNE_THRESHOLD = 65536
+
+
 def nearest_neighbors(
     a_points: jnp.ndarray,
     b_points: jnp.ndarray,
     exclude_self: bool = False,
     backend: str = "auto",
+    n_a: typing.Optional[typing.Union[int, jnp.ndarray]] = None,
+    n_b: typing.Optional[typing.Union[int, jnp.ndarray]] = None,
+    grids: typing.Optional[tuple] = None,
 ) -> typing.Tuple[jnp.ndarray, jnp.ndarray]:
-    """Dispatching 1-NN: Pallas kernel on TPU, jnp tiles elsewhere.
+    """Dispatching 1-NN. Returns ``(idx int32 (Na,), dist_sq (Na,))``.
 
-    Returns ``(idx int32 (Na,), dist_sq (Na,))``.
+    Backends: "pruned" (Morton-grid bound pruning, exact, the large-cloud
+    default everywhere), "pallas" (brute-force MXU kernel, TPU), "jnp"
+    (brute-force tiles, any platform). ``grids`` optionally carries prebuilt
+    ``(ga, gb)`` ChunkGrids to amortise the Morton sort across passes.
     """
     if backend == "auto":
-        platform = a_points.devices().pop().platform if hasattr(
-            a_points, "devices") else jax.default_backend()
-        backend = "pallas" if platform == "tpu" else "jnp"
+        if max(a_points.shape[0], b_points.shape[0]) >= PRUNE_THRESHOLD:
+            backend = "pruned"
+        else:
+            platform = a_points.devices().pop().platform if hasattr(
+                a_points, "devices") else jax.default_backend()
+            backend = "pallas" if platform == "tpu" else "jnp"
+    if backend == "pruned":
+        from . import nn_pruned
+
+        if grids is not None:
+            ga, gb = grids
+            return nn_pruned.nn_pruned_with_grids(
+                ga, gb, n_a if n_a is not None else a_points.shape[0],
+                exclude_self=exclude_self,
+            )
+        return nn_pruned.nn_pruned(
+            a_points, b_points,
+            n_a if n_a is not None else a_points.shape[0],
+            n_b if n_b is not None else b_points.shape[0],
+            exclude_self=exclude_self,
+        )
     if backend == "pallas":
         from . import nn_pallas
 

@@ -1,0 +1,291 @@
+"""Bound-pruned exact nearest-neighbour search over Morton chunk grids.
+
+The speed-of-light NN path (SURVEY §7): instead of the O(N*M) brute-force
+sweep, each 256-query Morton tile refines only its ``cap`` lowest-lower-bound
+search chunks, then proves itself exact with a sound certificate:
+
+  * lb(tile, chunk) = bbox-to-bbox squared distance (ops/grid.py) lower-bounds
+    every query-candidate pair;
+  * after refining the cap smallest-lb chunks, the tile's achieved
+    ub = max over its valid queries of the refined min distance;
+  * qualifying count = #{chunks with lb <= ub}. If count <= cap the
+    qualifying set is PROVABLY a subset of the refined set (any chunk outside
+    the cap smallest lbs would be the (cap+1)-th qualifying one), so every
+    refined distance is the true NN distance;
+  * tiles failing the certificate (Morton chunks straddling octant
+    boundaries have wide bboxes that overlap hundreds of chunk bboxes —
+    <1-2% of tiles) are re-solved EXACTLY by a brute-force scan over all
+    chunks, up to a ``fallback_tiles`` budget. Only if more tiles than the
+    budget fail does the call report ``overflow`` and the caller escalates —
+    exactness is never silently lost.
+
+For dense voxel surfaces (the pc_error workload) this turns ~4x10^11
+candidate pairs into ~10^10. Distances use difference-form float arithmetic
+on the VPU, so no matmul-trick precision caveats apply.
+
+Tie-breaking is lowest ORIGINAL row index, exactly matching the brute-force
+jnp/Pallas paths, so all NN backends are bit-interchangeable (the refinement
+and fallback carry each candidate's original index through the argmin).
+"""
+from __future__ import annotations
+
+import functools
+import typing
+
+import jax
+import jax.numpy as jnp
+
+from .grid import CHUNK, ChunkGrid, bbox_lower_bounds, build_grid
+
+INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+def _pairwise_sq(q: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """(.., m, 3) x (.., n, 3) -> (.., m, n); per-coordinate accumulation to
+    avoid the (.., m, n, 3) temporary."""
+    d = None
+    for k in range(3):
+        diff = q[..., :, None, k] - c[..., None, :, k]
+        d = diff * diff if d is None else d + diff * diff
+    return d
+
+
+def _pick_batch(n: int, preferred: int = 32) -> int:
+    for b in (preferred, 16, 8, 4, 2, 1):
+        if n % b == 0:
+            return b
+    return 1
+
+
+def _bruteforce_rows(
+    q: jnp.ndarray,
+    qrows: jnp.ndarray,
+    b_chunks: jnp.ndarray,
+    b_perm: jnp.ndarray,
+    exclude_self: bool,
+) -> typing.Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact NN of R gathered query rows vs ALL b chunks (scan, running min).
+
+    Returns ORIGINAL b indices; tie-break lowest original index. ``qrows``
+    are the queries' global SORTED row ids (for self-exclusion)."""
+    r = q.shape[0]
+    dtype = q.dtype
+    ncb = b_chunks.shape[0]
+    g = _pick_batch(ncb, 8)  # chunks per scan step (amortises step overhead)
+    width = g * CHUNK
+
+    def step(carry, inp):
+        best_d, best_i = carry
+        bc, cbase, borig = inp  # (width, 3), scalar, (width,)
+        d = _pairwise_sq(q, bc)  # (r, width)
+        if exclude_self:
+            gcol = cbase + jnp.arange(width, dtype=jnp.int32)
+            d = jnp.where(qrows[:, None] == gcol[None, :], jnp.inf, d)
+        dmin = jnp.min(d, axis=1)
+        at_min = d == dmin[:, None]
+        gidx = jnp.min(jnp.where(at_min, borig[None, :], INT_MAX), axis=1)
+        take = (dmin < best_d) | ((dmin == best_d) & (gidx < best_i))
+        return (
+            jnp.where(take, dmin, best_d),
+            jnp.where(take, gidx, best_i),
+        ), None
+
+    init = (
+        jnp.full((r,), jnp.inf, dtype),
+        jnp.full((r,), INT_MAX, jnp.int32),
+    )
+    cbases = jnp.arange(ncb // g, dtype=jnp.int32) * width
+    (best_d, best_i), _ = jax.lax.scan(
+        step, init,
+        (b_chunks.reshape(ncb // g, width, 3), cbases,
+         b_perm.reshape(ncb // g, width)),
+    )
+    return best_d, best_i
+
+
+@functools.partial(
+    jax.jit, static_argnames=("exclude_self", "cap", "fallback_tiles")
+)
+def nn_pruned_sorted(
+    ga: ChunkGrid,
+    gb: ChunkGrid,
+    n_a: jnp.ndarray,
+    exclude_self: bool = False,
+    cap: int = 32,
+    fallback_tiles: int = 128,
+) -> typing.Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """1-NN in Morton-sorted order.
+
+    ``n_a`` is the query cloud's valid count: sentinels sort to the tail (the
+    sort is stable and they carry the max code), so sorted row s is valid iff
+    s < n_a. Query-side tile bboxes and the certificate's ub are computed
+    over VALID rows only.
+
+    Returns ``(dist_sq, idx_into_ORIGINAL_b, overflow)``. Sentinel query rows
+    return meaningless (finite) distances — callers mask by row < n_a.
+    """
+    dtype = ga.points.dtype
+    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    nta = ga.points.shape[0] // CHUNK
+    ncb = gb.n_chunks
+    cap = min(cap, ncb)
+
+    a_tiles = ga.points.reshape(nta, CHUNK, 3)
+    b_chunks = gb.points.reshape(ncb, CHUNK, 3)
+    valid_t = (jnp.arange(nta * CHUNK) < n_a).reshape(nta, CHUNK)
+
+    a_lo = jnp.min(jnp.where(valid_t[:, :, None], a_tiles, big), axis=1)
+    a_hi = jnp.max(jnp.where(valid_t[:, :, None], a_tiles, -big), axis=1)
+    lb = bbox_lower_bounds(a_lo, a_hi, gb.bbox_lo, gb.bbox_hi)  # (nta, ncb)
+
+    # ---- refinement over the cap smallest-lb chunks per tile
+    _, cand = jax.lax.top_k(-lb, cap)  # (nta, cap)
+    cand = cand.astype(jnp.int32)
+    tbases = jnp.arange(nta, dtype=jnp.int32)
+    batch = _pick_batch(nta)
+
+    b_perm_chunks = gb.perm.reshape(ncb, CHUNK)
+
+    def refine_body(args):
+        q, cidx, tbase = args
+        bt = q.shape[0]
+        cand_pts = b_chunks[cidx].reshape(bt, cap * CHUNK, 3)
+        d = _pairwise_sq(q, cand_pts)  # (bt, CHUNK, cap*CHUNK)
+        borig = b_perm_chunks[cidx].reshape(bt, 1, cap * CHUNK)
+        if exclude_self:
+            gcol = (cidx[:, :, None] * CHUNK
+                    + jnp.arange(CHUNK, dtype=jnp.int32)
+                    ).reshape(bt, 1, cap * CHUNK)
+            grow = (tbase[:, None] * CHUNK
+                    + jnp.arange(CHUNK, dtype=jnp.int32))[:, :, None]
+            d = jnp.where(grow == gcol, jnp.inf, d)
+        dmin = jnp.min(d, axis=2)  # (bt, CHUNK)
+        at_min = d == dmin[:, :, None]
+        gidx = jnp.min(
+            jnp.where(at_min, jnp.broadcast_to(borig, d.shape), INT_MAX),
+            axis=2,
+        )
+        return dmin, gidx
+
+    dmin, gidx = jax.lax.map(
+        refine_body,
+        (
+            a_tiles.reshape(nta // batch, batch, CHUNK, 3),
+            cand.reshape(nta // batch, batch, cap),
+            tbases.reshape(nta // batch, batch),
+        ),
+    )
+    dmin = dmin.reshape(nta, CHUNK)
+    gidx = gidx.reshape(nta, CHUNK)
+
+    # ---- exactness certificate
+    ub = jnp.max(jnp.where(valid_t, dmin, -jnp.inf), axis=1)  # (nta,)
+    ub_eff = ub * (1 + 8 * eps) + 8 * eps
+    counts = jnp.sum(lb <= ub_eff[:, None], axis=1).astype(jnp.int32)
+    n_over = jnp.sum(counts > cap)
+    overflow = n_over > fallback_tiles
+
+    # ---- exact brute-force fallback for the worst tiles
+    ft = min(fallback_tiles, nta)
+    dmin = dmin.reshape(nta * CHUNK)
+    gidx = gidx.reshape(nta * CHUNK).astype(jnp.int32)
+    if ft > 0:
+        # top-ft by count includes every over-cap tile when n_over <= ft;
+        # re-solving an already-exact tile is harmless (results identical).
+        _, otiles = jax.lax.top_k(counts, ft)
+        otiles = otiles.astype(jnp.int32)
+        oq = a_tiles[otiles].reshape(ft * CHUNK, 3)
+        orows = (otiles[:, None] * CHUNK
+                 + jnp.arange(CHUNK, dtype=jnp.int32)).reshape(ft * CHUNK)
+        fb_d, fb_i = _bruteforce_rows(oq, orows, b_chunks, gb.perm, exclude_self)
+        dmin = dmin.at[orows].set(fb_d)
+        gidx = gidx.at[orows].set(fb_i)
+
+    return dmin, gidx, overflow
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("exclude_self", "cap", "fallback_tiles"),
+)
+def _nn_pruned_jit(
+    a_points, b_points, n_a, n_b, exclude_self, cap, fallback_tiles=128
+):
+    ga = build_grid(a_points, n_a)
+    gb = ga if exclude_self else build_grid(b_points, n_b)
+    d_s, i_s, overflow = nn_pruned_sorted(
+        ga, gb, n_a, exclude_self=exclude_self, cap=cap,
+        fallback_tiles=fallback_tiles,
+    )
+    d, idx = unsort_nn_result(ga, gb, d_s, i_s)
+    return idx, d, overflow
+
+
+def unsort_nn_result(
+    ga: ChunkGrid, gb: ChunkGrid, d_sorted: jnp.ndarray, i_sorted: jnp.ndarray
+) -> typing.Tuple[jnp.ndarray, jnp.ndarray]:
+    """Map sorted-query-order (dist, orig-b-idx) back to original row order."""
+    p = d_sorted.shape[0]
+    inv = jnp.zeros(p, jnp.int32).at[ga.perm].set(
+        jnp.arange(p, dtype=jnp.int32)
+    )
+    d = jnp.take(d_sorted, inv)
+    idx = jnp.take(i_sorted, inv)
+    return d, idx
+
+
+def nn_pruned_with_grids(
+    ga: ChunkGrid,
+    gb: ChunkGrid,
+    n_a: typing.Union[int, jnp.ndarray],
+    exclude_self: bool = False,
+    cap: int = 32,
+    fallback_tiles: int = 128,
+) -> typing.Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pruned 1-NN over prebuilt grids, ORIGINAL order, with escalation.
+
+    Building the grids once per cloud (CloudPair caches them) amortises the
+    Morton sort across all NN passes of a metric evaluation.
+    """
+    nta = ga.points.shape[0] // CHUNK
+    ncb = gb.n_chunks
+    while True:
+        d_s, i_s, overflow = nn_pruned_sorted(
+            ga, gb, jnp.asarray(n_a), exclude_self=exclude_self, cap=cap,
+            fallback_tiles=fallback_tiles,
+        )
+        if fallback_tiles >= nta or not bool(overflow):
+            d, idx = unsort_nn_result(ga, gb, d_s, i_s)
+            return idx, d
+        cap = min(cap * 4, ncb)
+        fallback_tiles = min(fallback_tiles * 4, nta)
+
+
+def nn_pruned(
+    a_points: jnp.ndarray,
+    b_points: jnp.ndarray,
+    n_a: typing.Union[int, jnp.ndarray],
+    n_b: typing.Union[int, jnp.ndarray],
+    exclude_self: bool = False,
+    cap: int = 32,
+    fallback_tiles: int = 128,
+) -> typing.Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact pruned 1-NN in ORIGINAL row order with automatic escalation.
+
+    Returns ``(idx int32 (Pa,), dist_sq (Pa,))``. Exact whenever the number
+    of certificate-failing tiles fits the fallback budget; otherwise both cap
+    and budget escalate x4 until the fallback covers every tile (which
+    degenerates to brute force, so exactness always holds).
+    """
+    nta = a_points.shape[0] // CHUNK
+    ncb = b_points.shape[0] // CHUNK
+    while True:
+        idx, d, overflow = _nn_pruned_jit(
+            a_points, b_points, jnp.asarray(n_a), jnp.asarray(n_b),
+            exclude_self, cap, fallback_tiles=fallback_tiles,
+        )
+        if fallback_tiles >= nta or not bool(overflow):
+            return idx, d
+        cap = min(cap * 4, ncb)
+        fallback_tiles = min(fallback_tiles * 4, nta)

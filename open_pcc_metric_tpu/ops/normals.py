@@ -35,20 +35,33 @@ def normals_from_neighbors(
     return smallest_eigenvector_sym3(cov)
 
 
+# Above this many padded rows, brute-force k-NN is prohibitive and the
+# Morton-grid pruned path takes over (matches ops/nn.PRUNE_THRESHOLD).
+_PRUNE_THRESHOLD = 65536
+
+
 def estimate_normals(
     points: jnp.ndarray,
     k: int = DEFAULT_KNN,
     neighbor_idx: typing.Optional[jnp.ndarray] = None,
+    n_valid: typing.Optional[typing.Union[int, jnp.ndarray]] = None,
 ) -> jnp.ndarray:
     """Estimate unit normals for a padded (P, 3) point array.
 
     The k-NN search runs over the same cloud with the query point included in
     its own neighbourhood (FLANN/Open3D semantics: ``search_knn_vector_3d``
-    returns the query itself at distance 0).
+    returns the query itself at distance 0). Large clouds route through the
+    bound-pruned k-NN (ops/knn_pruned.py).
 
     Padded rows (PAD_SENTINEL coords) produce the degenerate fallback normal;
     callers mask rows >= n downstream.
     """
     if neighbor_idx is None:
-        neighbor_idx, _ = knn(points, points, k=k, exclude_self=False)
+        if points.shape[0] >= _PRUNE_THRESHOLD:
+            from .knn_pruned import knn_pruned
+
+            n = n_valid if n_valid is not None else points.shape[0]
+            neighbor_idx, _ = knn_pruned(points, points, n, n, k=k)
+        else:
+            neighbor_idx, _ = knn(points, points, k=k, exclude_self=False)
     return normals_from_neighbors(points, neighbor_idx, k)
