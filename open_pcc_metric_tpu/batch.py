@@ -1,0 +1,340 @@
+"""Batch / sequence-sweep evaluation with a resumable JSONL journal.
+
+The reference is a one-shot, single-pair CLI (SURVEY §5: no checkpoint /
+resume, no batching). This module adds the production sweep path
+(BASELINE.json configs 4-5):
+
+  * a manifest of (original, processed) pairs — explicit CSV or two
+    directories paired by filename;
+  * per-frame results appended to a JSONL journal as they complete, so an
+    interrupted sweep resumes by skipping finished frames;
+  * per-file failures are logged into the journal and skipped (fail-fast per
+    frame, not per sweep);
+  * reference clouds are cached across items, so a G-PCC QP sweep (one
+    reference x N degraded clouds) loads, Morton-sorts and OBBs the
+    reference once — the reference tool recomputes all of it per pair
+    (reference cloud_pair.py:54-80);
+  * optional multi-chip mode: frames are grouped and dispatched over a
+    ("frames", "points") mesh via parallel.sharded_pair_stats.
+
+CLI: ``python -m open_pcc_metric_tpu.batch --help``.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+import typing
+
+import numpy as np
+
+from .evaluate import load_cloud
+from .ops.fused import fused_evaluate
+from .utils import get_logger
+from .utils.profiling import Timer, mpoints_per_sec
+
+logger = get_logger(__name__)
+
+
+@dataclasses.dataclass
+class SweepItem:
+    ocloud: str
+    pcloud: str
+    tag: str
+
+
+def pairs_from_dirs(odir: str, pdir: str) -> typing.List[SweepItem]:
+    """Pair files from two directories by (sorted) filename."""
+    ofiles = sorted(
+        f for f in os.listdir(odir)
+        if f.lower().endswith((".ply", ".pcd", ".xyz"))
+    )
+    items = []
+    for f in ofiles:
+        p = os.path.join(pdir, f)
+        if os.path.exists(p):
+            items.append(SweepItem(os.path.join(odir, f), p, tag=f))
+        else:
+            logger.warning("no processed counterpart for %s", f)
+    return items
+
+
+def pairs_from_manifest(path: str) -> typing.List[SweepItem]:
+    """CSV manifest: ocloud,pcloud[,tag] per line (header optional)."""
+    items = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = [p.strip() for p in line.split(",")]
+            if parts[0].lower() in ("ocloud", "original"):
+                continue
+            tag = parts[2] if len(parts) > 2 else os.path.basename(parts[1])
+            items.append(SweepItem(parts[0], parts[1], tag))
+    return items
+
+
+def _read_journal(path: str) -> typing.Dict[str, dict]:
+    done = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if "tag" in rec and "error" not in rec:
+                    done[rec["tag"]] = rec
+    return done
+
+
+class _CloudCache:
+    """Small LRU of loaded clouds keyed by (path, dtype)."""
+
+    def __init__(self, capacity: int = 4):
+        self._cap = capacity
+        self._store: "typing.OrderedDict" = __import__(
+            "collections"
+        ).OrderedDict()
+
+    def get(self, path: str, dtype: str):
+        key = (path, dtype)
+        if key in self._store:
+            self._store.move_to_end(key)
+            return self._store[key]
+        cloud = load_cloud(path, dtype=dtype)
+        self._store[key] = cloud
+        if len(self._store) > self._cap:
+            self._store.popitem(last=False)
+        return cloud
+
+
+def run_sweep(
+    items: typing.Sequence[SweepItem],
+    journal_path: str,
+    color_scheme: typing.Optional[str] = None,
+    point_to_plane: bool = False,
+    d2_mode: str = "reference",
+    dtype: str = "float32",
+    backend: str = "auto",
+    resume: bool = True,
+) -> typing.List[dict]:
+    """Evaluate every pair, appending one JSONL record per frame."""
+    done = _read_journal(journal_path) if resume else {}
+    cache = _CloudCache()
+    results = []
+    with open(journal_path, "a") as journal:
+        for item in items:
+            if item.tag in done:
+                logger.info("skip %s (already in journal)", item.tag)
+                results.append(done[item.tag])
+                continue
+            rec: dict = {"tag": item.tag, "ocloud": item.ocloud,
+                         "pcloud": item.pcloud, "ts": time.time()}
+            try:
+                t0 = time.perf_counter()
+                a = cache.get(item.ocloud, dtype)
+                b = cache.get(item.pcloud, dtype)
+                metrics = fused_evaluate(
+                    a, b, color_scheme=color_scheme,
+                    point_to_plane=point_to_plane, d2_mode=d2_mode,
+                    backend=backend,
+                )
+                wall = time.perf_counter() - t0
+                rec["metrics"] = {
+                    k: (v.tolist() if hasattr(v, "tolist") else float(v))
+                    for k, v in metrics.items()
+                }
+                rec["wall_s"] = round(wall, 4)
+                rec["mpoints_per_sec"] = round(
+                    mpoints_per_sec(a.n + b.n, wall), 4
+                )
+            except Exception as e:  # skip-and-log per file
+                logger.exception("frame %s failed", item.tag)
+                rec["error"] = f"{type(e).__name__}: {e}"
+            journal.write(json.dumps(rec) + "\n")
+            journal.flush()
+            results.append(rec)
+    return results
+
+
+def run_sweep_sharded(
+    items: typing.Sequence[SweepItem],
+    journal_path: str,
+    mesh=None,
+    dp: typing.Optional[int] = None,
+    color_scheme: typing.Optional[str] = None,
+    point_to_plane: bool = False,
+    d2_mode: str = "reference",
+    dtype: str = "float32",
+    resume: bool = True,
+) -> typing.List[dict]:
+    """Multi-chip sweep: dp frames per step over a ("frames","points") mesh.
+
+    Frames in each group are padded to one common size; the sharded kernel
+    evaluates them with DP over frames and ring-sharded NN over points
+    (parallel/sharded.py). Works unchanged under ``jax.distributed`` for
+    multi-host DCN sweeps — each host feeds its addressable shard.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .cloud import Cloud, pad_bucket
+    from .io import read_point_cloud
+    from .ops.fused import finalize_stats
+    from .ops.obb import minimal_obb_extent
+    from .parallel import make_mesh, sharded_pair_stats
+
+    if mesh is None:
+        n_dev = len(jax.devices())
+        dp = dp or (2 if n_dev % 2 == 0 and n_dev >= 4 else 1)
+        mesh = make_mesh(dp=dp)
+    dp = mesh.devices.shape[0]
+    sp = mesh.devices.shape[1]
+
+    done = _read_journal(journal_path) if resume else {}
+    todo = [it for it in items if it.tag not in done]
+    results = [done[it.tag] for it in items if it.tag in done]
+
+    _DT = {"float32": jnp.float32, "float64": jnp.float64}[dtype]
+
+    with open(journal_path, "a") as journal:
+        for g in range(0, len(todo), dp):
+            group = todo[g : g + dp]
+            real = len(group)
+            while len(group) < dp:  # repeat last frame to fill the group
+                group = group + [group[-1]]
+            raws = []
+            for it in group:
+                ro = read_point_cloud(it.ocloud)
+                rp = read_point_cloud(it.pcloud)
+                raws.append((it, ro, rp))
+            pad = max(
+                pad_bucket(max(ro.n, rp.n)) for _, ro, rp in raws
+            )
+            pad = ((pad + sp * 256 - 1) // (sp * 256)) * (sp * 256)
+
+            t0 = time.perf_counter()
+            a_list = [
+                Cloud.from_numpy(ro.points, colors=ro.colors,
+                                 normals=ro.normals, dtype=_DT, pad_to=pad)
+                for _, ro, _ in raws
+            ]
+            b_list = [
+                Cloud.from_numpy(rp.points, colors=rp.colors,
+                                 normals=rp.normals, dtype=_DT, pad_to=pad)
+                for _, _, rp in raws
+            ]
+            kw = {}
+            if color_scheme is not None:
+                kw["a_col"] = jnp.stack([c.colors for c in a_list])
+                kw["b_col"] = jnp.stack([c.colors for c in b_list])
+            if point_to_plane and all(
+                c.normals is not None for c in a_list + b_list
+            ):
+                kw["a_nrm"] = jnp.stack([c.normals for c in a_list])
+                kw["b_nrm"] = jnp.stack([c.normals for c in b_list])
+            stats = sharded_pair_stats(
+                mesh,
+                jnp.stack([c.points for c in a_list]),
+                jnp.stack([c.points for c in b_list]),
+                jnp.asarray([c.n for c in a_list]),
+                jnp.asarray([c.n for c in b_list]),
+                color_scheme=color_scheme,
+                point_to_plane=point_to_plane,
+                d2_mode=d2_mode,
+                **kw,
+            )
+            stats = {k: np.asarray(v) for k, v in stats.items()}
+            wall = time.perf_counter() - t0
+
+            for f, (it, ro, rp) in enumerate(raws[:real]):
+                peak = float(np.max(minimal_obb_extent(ro.points)))
+                metrics = finalize_stats(
+                    {k: v[f] for k, v in stats.items()}, peak,
+                    color_scheme=color_scheme,
+                    point_to_plane=point_to_plane,
+                )
+                rec = {
+                    "tag": it.tag, "ocloud": it.ocloud, "pcloud": it.pcloud,
+                    "ts": time.time(),
+                    "metrics": {
+                        k: (v.tolist() if hasattr(v, "tolist") else float(v))
+                        for k, v in metrics.items()
+                    },
+                    "wall_s": round(wall, 4),
+                    "group_mpoints_per_sec": round(
+                        mpoints_per_sec(
+                            sum(c.n for c in a_list) + sum(c.n for c in b_list),
+                            wall,
+                        ), 4,
+                    ),
+                }
+                journal.write(json.dumps(rec) + "\n")
+                journal.flush()
+                results.append(rec)
+    return results
+
+
+def _cli():
+    import click
+
+    @click.command()
+    @click.option("--manifest", type=str, default=None,
+                  help="CSV manifest: ocloud,pcloud[,tag] per line.")
+    @click.option("--ocloud-dir", type=str, default=None)
+    @click.option("--pcloud-dir", type=str, default=None)
+    @click.option("--journal", type=str, required=True,
+                  help="JSONL journal path (append + resume).")
+    @click.option("--color", type=click.Choice(["rgb", "ycc", "yuv"]),
+                  default=None)
+    @click.option("--point-to-plane", is_flag=True)
+    @click.option("--d2-mode", type=click.Choice(["reference", "pc_error"]),
+                  default="reference", show_default=True)
+    @click.option("--dtype", type=click.Choice(["float32", "float64"]),
+                  default="float32", show_default=True)
+    @click.option("--backend",
+                  type=click.Choice(["auto", "pruned", "pallas", "jnp"]),
+                  default="auto", show_default=True)
+    @click.option("--no-resume", is_flag=True,
+                  help="Re-evaluate frames already in the journal.")
+    @click.option("--sharded", is_flag=True,
+                  help="Shard frames over all devices (frames x points mesh).")
+    @click.option("--dp", type=int, default=None,
+                  help="Frame-parallel groups in sharded mode.")
+    def cli(manifest, ocloud_dir, pcloud_dir, journal, color, point_to_plane,
+            d2_mode, dtype, backend, no_resume, sharded, dp):
+        """Evaluate a sequence of cloud pairs with journal + resume."""
+        if manifest:
+            items = pairs_from_manifest(manifest)
+        elif ocloud_dir and pcloud_dir:
+            items = pairs_from_dirs(ocloud_dir, pcloud_dir)
+        else:
+            raise click.UsageError(
+                "provide --manifest or --ocloud-dir/--pcloud-dir"
+            )
+        if sharded:
+            results = run_sweep_sharded(
+                items, journal, dp=dp, color_scheme=color,
+                point_to_plane=point_to_plane, d2_mode=d2_mode, dtype=dtype,
+                resume=not no_resume,
+            )
+        else:
+            results = run_sweep(
+                items, journal, color_scheme=color,
+                point_to_plane=point_to_plane, d2_mode=d2_mode, dtype=dtype,
+                backend=backend, resume=not no_resume,
+            )
+        ok = sum(1 for r in results if "error" not in r)
+        click.echo(f"{ok}/{len(results)} frames evaluated -> {journal}")
+
+    cli()
+
+
+if __name__ == "__main__":
+    _cli()

@@ -154,11 +154,20 @@ def _read_ply_ascii_vertices(path, body_offset, count, props):
     ncols = len(props)
     with open(path, "rb") as f:
         f.seek(body_offset)
-        # Read only the vertex lines; later elements (faces etc.) are ignored.
-        rows = np.loadtxt(f, dtype=np.float64, max_rows=count, ndmin=2)
-    if rows.shape[0] != count or rows.shape[1] < ncols:
-        raise ValueError(f"{path}: ASCII PLY vertex parse mismatch "
-                         f"(got {rows.shape}, want ({count},{ncols}))")
+        body = f.read()
+    # Native fast path: scan exactly count*ncols numbers from the body (the
+    # vertex element comes first; faces etc. follow and are ignored).
+    from .. import native
+
+    flat = native.parse_floats(body, count * ncols)
+    if flat is not None:
+        rows = flat.reshape(count, ncols)
+    else:
+        rows = np.loadtxt(body.decode("ascii", errors="replace").splitlines(),
+                          dtype=np.float64, max_rows=count, ndmin=2)
+        if rows.shape[0] != count or rows.shape[1] < ncols:
+            raise ValueError(f"{path}: ASCII PLY vertex parse mismatch "
+                             f"(got {rows.shape}, want ({count},{ncols}))")
     names = [p[0] for p in props]
     return {name: rows[:, i] for i, name in enumerate(names)}
 

@@ -148,10 +148,15 @@ def build_grid_host(points_np, pad_to: int, dtype=jnp.float32) -> ChunkGrid:
         | (_part1by2_np(q[:, 1]) << 1)
         | (_part1by2_np(q[:, 2]) << 2)
     ).astype(np.int64)
-    perm = np.argsort(codes, kind="stable")
+    from .. import native
+
+    perm = native.radix_argsort_u32(codes.astype(np.uint32))
+    if perm is None:
+        perm = np.argsort(codes, kind="stable")
 
     buf = np.full((pad_to, 3), PAD_SENTINEL, dtype=np.float64)
-    buf[:n] = pts[perm]
+    gathered = native.gather_rows(pts, perm)
+    buf[:n] = gathered if gathered is not None else pts[perm]
     # Round to the target dtype BEFORE taking bboxes: bounds must enclose the
     # exact on-device point values or the lower bounds stop being sound.
     import numpy as _np

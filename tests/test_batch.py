@@ -1,0 +1,112 @@
+"""Batch sweep: journal, resume, per-file error skipping, sharded mode."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from open_pcc_metric_tpu import write_ply
+from open_pcc_metric_tpu.batch import (
+    SweepItem,
+    pairs_from_dirs,
+    pairs_from_manifest,
+    run_sweep,
+    run_sweep_sharded,
+)
+from open_pcc_metric_tpu.utils.profiling import Timer, mpoints_per_sec
+
+import oracle
+
+
+@pytest.fixture
+def frames(tmp_path):
+    rng = np.random.default_rng(0)
+    odir = tmp_path / "orig"
+    pdir = tmp_path / "proc"
+    odir.mkdir()
+    pdir.mkdir()
+    clouds = []
+    for f in range(3):
+        pts = np.unique(rng.integers(0, 256, (600 + 100 * f, 3)), axis=0
+                        ).astype(float)
+        rec = pts + rng.integers(-1, 2, pts.shape)
+        colors = rng.integers(0, 256, pts.shape) / 255.0
+        write_ply(odir / f"frame{f}.ply", pts, colors=colors)
+        write_ply(pdir / f"frame{f}.ply", rec, colors=colors)
+        clouds.append((pts, rec))
+    return odir, pdir, clouds
+
+
+def test_sweep_journal_and_values(frames, tmp_path):
+    odir, pdir, clouds = frames
+    items = pairs_from_dirs(str(odir), str(pdir))
+    assert len(items) == 3
+    journal = tmp_path / "out.jsonl"
+    results = run_sweep(items, str(journal), color_scheme="ycc",
+                        dtype="float64")
+    assert all("metrics" in r for r in results)
+    # cross-check frame 0 against the oracle
+    pts, rec = clouds[0]
+    ref = oracle.full_metrics(pts, rec, hausdorff=True)
+    got = results[0]["metrics"]
+    np.testing.assert_allclose(got["geo_mse_left"], ref["geo_mse_left"],
+                               rtol=1e-9)
+    np.testing.assert_allclose(got["geo_psnr_sym"], ref["geo_psnr_sym"],
+                               rtol=1e-6)
+    # journal is valid JSONL
+    lines = [json.loads(l) for l in journal.read_text().splitlines()]
+    assert len(lines) == 3
+
+
+def test_sweep_resume_skips_done(frames, tmp_path):
+    odir, pdir, _ = frames
+    items = pairs_from_dirs(str(odir), str(pdir))
+    journal = tmp_path / "out.jsonl"
+    run_sweep(items[:2], str(journal), dtype="float64")
+    results = run_sweep(items, str(journal), dtype="float64")
+    lines = journal.read_text().splitlines()
+    assert len(lines) == 3  # only frame2 appended on the second run
+    assert len(results) == 3
+
+
+def test_sweep_error_skip_and_log(frames, tmp_path):
+    odir, pdir, _ = frames
+    items = pairs_from_dirs(str(odir), str(pdir))
+    items.insert(1, SweepItem("/nonexistent.ply", "/nonexistent.ply", "bad"))
+    journal = tmp_path / "out.jsonl"
+    results = run_sweep(items, str(journal), dtype="float64")
+    assert sum("error" in r for r in results) == 1
+    assert sum("metrics" in r for r in results) == 3
+
+
+def test_manifest_parsing(tmp_path):
+    m = tmp_path / "m.csv"
+    m.write_text("ocloud,pcloud,tag\n/a.ply,/b.ply,x\n/c.ply,/d.ply\n")
+    items = pairs_from_manifest(str(m))
+    assert items[0].tag == "x"
+    assert items[1].tag == "d.ply"
+
+
+def test_sharded_sweep_matches_single(frames, tmp_path):
+    odir, pdir, clouds = frames
+    items = pairs_from_dirs(str(odir), str(pdir))
+    j1 = tmp_path / "single.jsonl"
+    j2 = tmp_path / "sharded.jsonl"
+    r1 = run_sweep(items, str(j1), color_scheme="ycc", dtype="float64")
+    r2 = run_sweep_sharded(items, str(j2), dp=2, color_scheme="ycc",
+                           dtype="float64")
+    by_tag = {r["tag"]: r for r in r2}
+    for rec in r1:
+        m1, m2 = rec["metrics"], by_tag[rec["tag"]]["metrics"]
+        for key in ("geo_mse_left", "geo_mse_right", "geo_psnr_sym",
+                    "min_sqrt", "max_sqrt", "color_psnr_sym"):
+            np.testing.assert_allclose(m1[key], m2[key], rtol=1e-9,
+                                       err_msg=f"{rec['tag']}:{key}")
+
+
+def test_timer_and_counters():
+    t = Timer()
+    with t.stage("a"):
+        pass
+    assert "a" in t.times and t.total() >= 0
+    assert mpoints_per_sec(2_000_000, 2.0) == 1.0
