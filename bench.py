@@ -30,8 +30,15 @@ import numpy as np
 
 N_TARGET = int(os.environ.get("PCC_BENCH_POINTS", "800000"))
 RUNS = int(os.environ.get("PCC_BENCH_RUNS", "3"))
-_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                      "BENCH_BASELINE_CPU.json")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_CACHE = os.path.join(_HERE, "BENCH_BASELINE_CPU.json")
+
+# Persistent XLA compilation cache: the axon remote-compile service has a
+# multi-minute cold start for the first compile of a process; caching the
+# executables makes repeated bench runs start in seconds.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(_HERE, ".jax_cache")
+)
 
 
 def make_clouds(n_target: int, seed: int = 0):

@@ -50,6 +50,106 @@ def _masked_min(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.min(jnp.where(mask, x, jnp.inf), axis=0)
 
 
+def _pair_stats_pruned(
+    a_pts, b_pts, n_a, n_b, a_col, b_col, a_nrm, b_nrm, ga, gb,
+    *, color_scheme, point_to_plane, d2_mode, with_boundary,
+    prune_cap, prune_fallback,
+):
+    """Pruned-backend body of pair_stats, evaluated in Morton-sorted space.
+
+    Sorted-row validity follows the same `row < n` rule as the original
+    order (sentinels carry the max code and sort last), neighbour indices
+    come back in ORIGINAL b order (so colour/normal/point gathers hit the
+    original arrays directly), and only the D2 positional pairing (SURVEY
+    Q3) and query-side colours need a perm gather.
+    """
+    from .grid import build_grid
+    from .nn_pruned import nn_pruned_sorted
+
+    if ga is None:
+        ga = build_grid(a_pts, n_a)
+    if gb is None:
+        gb = build_grid(b_pts, n_b)
+
+    pa = a_pts.shape[0]
+    pb = b_pts.shape[0]
+    mask_a = jnp.arange(pa) < n_a
+    mask_b = jnp.arange(pb) < n_b
+
+    d0, i0, ov0 = nn_pruned_sorted(
+        ga, gb, n_a, cap=prune_cap, fallback_tiles=prune_fallback
+    )
+    d1, i1, ov1 = nn_pruned_sorted(
+        gb, ga, n_b, cap=prune_cap, fallback_tiles=prune_fallback
+    )
+    overflows = [ov0, ov1]
+
+    out: typing.Dict[str, jnp.ndarray] = {
+        "n_a": n_a,
+        "n_b": n_b,
+        "d1_sse_l": _masked_sum(d0, mask_a),
+        "d1_sse_r": _masked_sum(d1, mask_b),
+        "d1_max_l": _masked_max(d0, mask_a),
+        "d1_max_r": _masked_max(d1, mask_b),
+    }
+
+    if with_boundary:
+        dself, _, ov2 = nn_pruned_sorted(
+            ga, ga, n_a, exclude_self=True,
+            cap=prune_cap, fallback_tiles=prune_fallback,
+        )
+        overflows.append(ov2)
+        sqrt_self = jnp.sqrt(jnp.maximum(dself, 0.0))
+        out["self_min"] = _masked_min(sqrt_self, mask_a)
+        out["self_max"] = _masked_max(sqrt_self, mask_a)
+
+    if point_to_plane:
+        if a_nrm is None or b_nrm is None:
+            raise ValueError(
+                "pair_stats requires precomputed normals for point_to_plane"
+            )
+        err0 = ga.points - jnp.take(b_pts, i0, axis=0, mode="clip")
+        err1 = gb.points - jnp.take(a_pts, i1, axis=0, mode="clip")
+        if d2_mode == "reference":
+            # Positional pairing by ORIGINAL query index (SURVEY Q3).
+            n_for_0 = jnp.take(b_nrm, ga.perm, axis=0, mode="clip")
+            n_for_1 = jnp.take(a_nrm, gb.perm, axis=0, mode="clip")
+        else:
+            n_for_0 = jnp.take(b_nrm, i0, axis=0, mode="clip")
+            n_for_1 = jnp.take(a_nrm, i1, axis=0, mode="clip")
+        p0 = jnp.sum(err0 * n_for_0, axis=1) ** 2
+        p1 = jnp.sum(err1 * n_for_1, axis=1) ** 2
+        out["d2_sse_l"] = _masked_sum(p0, mask_a)
+        out["d2_sse_r"] = _masked_sum(p1, mask_b)
+        out["d2_max_l"] = _masked_max(p0, mask_a)
+        out["d2_max_r"] = _masked_max(p1, mask_b)
+
+    if color_scheme is not None:
+        a_col_s = jnp.take(a_col, ga.perm, axis=0)
+        b_col_s = jnp.take(b_col, gb.perm, axis=0)
+        t0 = transform_colors(a_col_s, "rgb", color_scheme)
+        tn0 = transform_colors(
+            jnp.take(b_col, i0, axis=0, mode="clip"), "rgb", color_scheme
+        )
+        t1 = transform_colors(b_col_s, "rgb", color_scheme)
+        tn1 = transform_colors(
+            jnp.take(a_col, i1, axis=0, mode="clip"), "rgb", color_scheme
+        )
+        diff0 = t0 - tn0
+        diff1 = t1 - tn1
+        out["c_sse_l"] = _masked_sum(diff0**2, mask_a)
+        out["c_sse_r"] = _masked_sum(diff1**2, mask_b)
+        hd0, hd1 = diff0, diff1
+        if color_scheme == "rgb":  # SURVEY Q5 quirk
+            hd0 = 255.0 * hd0
+            hd1 = 255.0 * hd1
+        out["c_max_l"] = _masked_max(hd0**2, mask_a)
+        out["c_max_r"] = _masked_max(hd1**2, mask_b)
+
+    out["nn_overflow"] = functools.reduce(jnp.logical_or, overflows)
+    return out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -90,31 +190,20 @@ def pair_stats(
       ``nn_overflow`` flag reports certificate overflow (the caller must
       re-run with larger prune_cap/prune_fallback for exact results).
     """
-    overflows: list = []
     if backend == "pruned":
-        from .grid import build_grid
-        from .nn_pruned import nn_pruned_sorted, unsort_nn_result
+        # Sorted-space evaluation: every reduction is permutation-invariant
+        # over queries, so results stay in Morton order end-to-end — no
+        # 850k-row unsort gathers (one of the dominant costs otherwise).
+        return _pair_stats_pruned(
+            a_pts, b_pts, n_a, n_b, a_col, b_col, a_nrm, b_nrm, ga, gb,
+            color_scheme=color_scheme, point_to_plane=point_to_plane,
+            d2_mode=d2_mode, with_boundary=with_boundary,
+            prune_cap=prune_cap, prune_fallback=prune_fallback,
+        )
 
-        if ga is None:
-            ga = build_grid(a_pts, n_a)
-        if gb is None:
-            gb = build_grid(b_pts, n_b)
-
-        def nn(a, b, exclude_self=False):
-            gq = ga if a is a_pts else gb
-            gs = ga if b is a_pts else gb
-            nq = n_a if a is a_pts else n_b
-            d_s, i_s, ov = nn_pruned_sorted(
-                gq, gs, nq, exclude_self=exclude_self,
-                cap=prune_cap, fallback_tiles=prune_fallback,
-            )
-            overflows.append(ov)
-            d, idx = unsort_nn_result(gq, gs, d_s, i_s)
-            return idx, d
-    else:
-        def nn(a, b, exclude_self=False):
-            return nn_ops.nearest_neighbors(a, b, exclude_self=exclude_self,
-                                            backend=backend)
+    def nn(a, b, exclude_self=False):
+        return nn_ops.nearest_neighbors(a, b, exclude_self=exclude_self,
+                                        backend=backend)
 
     pa = a_pts.shape[0]
     pb = b_pts.shape[0]
@@ -178,9 +267,6 @@ def pair_stats(
         out["c_max_l"] = _masked_max(hd0**2, mask_a)
         out["c_max_r"] = _masked_max(hd1**2, mask_b)
 
-    if overflows:
-        out["nn_overflow"] = functools.reduce(jnp.logical_or, overflows)
-
     return out
 
 
@@ -195,6 +281,9 @@ def finalize_stats(
     Reproduces the reference's peak conventions (SURVEY Q4): geometric PSNR
     peak = max OBB extent; Hausdorff PSNR peak = max intra-origin NN distance.
     """
+    import jax as _jax
+
+    stats = _jax.device_get(stats)  # one host transfer for all scalars
     s = {k: np.asarray(v, dtype=np.float64) for k, v in stats.items()}
     n_a, n_b = float(s["n_a"]), float(s["n_b"])
     out: typing.Dict[str, typing.Any] = {}

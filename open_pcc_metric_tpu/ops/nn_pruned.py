@@ -14,10 +14,10 @@ search chunks, then proves itself exact with a sound certificate:
     refined distance is the true NN distance;
   * tiles failing the certificate (Morton chunks straddling octant
     boundaries have wide bboxes that overlap hundreds of chunk bboxes —
-    <1-2% of tiles) are re-solved EXACTLY by a brute-force scan over all
-    chunks, up to a ``fallback_tiles`` budget. Only if more tiles than the
-    budget fail does the call report ``overflow`` and the caller escalates —
-    exactness is never silently lost.
+    <1-2% of tiles) are re-refined with an 8x larger candidate cap and
+    re-certified, up to a ``fallback_tiles`` budget. Only if the budget or
+    the stage-2 certificate fails does the call report ``overflow`` and the
+    caller escalate — exactness is never silently lost.
 
 For dense voxel surfaces (the pc_error workload) this turns ~4x10^11
 candidate pairs into ~10^10. Distances use difference-form float arithmetic
@@ -57,52 +57,6 @@ def _pick_batch(n: int, preferred: int = 32) -> int:
     return 1
 
 
-def _bruteforce_rows(
-    q: jnp.ndarray,
-    qrows: jnp.ndarray,
-    b_chunks: jnp.ndarray,
-    b_perm: jnp.ndarray,
-    exclude_self: bool,
-) -> typing.Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact NN of R gathered query rows vs ALL b chunks (scan, running min).
-
-    Returns ORIGINAL b indices; tie-break lowest original index. ``qrows``
-    are the queries' global SORTED row ids (for self-exclusion)."""
-    r = q.shape[0]
-    dtype = q.dtype
-    ncb = b_chunks.shape[0]
-    g = _pick_batch(ncb, 8)  # chunks per scan step (amortises step overhead)
-    width = g * CHUNK
-
-    def step(carry, inp):
-        best_d, best_i = carry
-        bc, cbase, borig = inp  # (width, 3), scalar, (width,)
-        d = _pairwise_sq(q, bc)  # (r, width)
-        if exclude_self:
-            gcol = cbase + jnp.arange(width, dtype=jnp.int32)
-            d = jnp.where(qrows[:, None] == gcol[None, :], jnp.inf, d)
-        dmin = jnp.min(d, axis=1)
-        at_min = d == dmin[:, None]
-        gidx = jnp.min(jnp.where(at_min, borig[None, :], INT_MAX), axis=1)
-        take = (dmin < best_d) | ((dmin == best_d) & (gidx < best_i))
-        return (
-            jnp.where(take, dmin, best_d),
-            jnp.where(take, gidx, best_i),
-        ), None
-
-    init = (
-        jnp.full((r,), jnp.inf, dtype),
-        jnp.full((r,), INT_MAX, jnp.int32),
-    )
-    cbases = jnp.arange(ncb // g, dtype=jnp.int32) * width
-    (best_d, best_i), _ = jax.lax.scan(
-        step, init,
-        (b_chunks.reshape(ncb // g, width, 3), cbases,
-         b_perm.reshape(ncb // g, width)),
-    )
-    return best_d, best_i
-
-
 @functools.partial(
     jax.jit, static_argnames=("exclude_self", "cap", "fallback_tiles")
 )
@@ -139,68 +93,85 @@ def nn_pruned_sorted(
     a_hi = jnp.max(jnp.where(valid_t[:, :, None], a_tiles, -big), axis=1)
     lb = bbox_lower_bounds(a_lo, a_hi, gb.bbox_lo, gb.bbox_hi)  # (nta, ncb)
 
-    # ---- refinement over the cap smallest-lb chunks per tile
+    b_perm_chunks = gb.perm.reshape(ncb, CHUNK)
+
+    def refine(q_tiles, cand, tbases, ncand, batch):
+        """Min + lowest-orig-index argmin over each tile's candidate chunks."""
+
+        def body(args):
+            q, cidx, tbase = args
+            bt = q.shape[0]
+            cand_pts = b_chunks[cidx].reshape(bt, ncand * CHUNK, 3)
+            d = _pairwise_sq(q, cand_pts)  # (bt, CHUNK, ncand*CHUNK)
+            borig = b_perm_chunks[cidx].reshape(bt, 1, ncand * CHUNK)
+            if exclude_self:
+                gcol = (cidx[:, :, None] * CHUNK
+                        + jnp.arange(CHUNK, dtype=jnp.int32)
+                        ).reshape(bt, 1, ncand * CHUNK)
+                grow = (tbase[:, None] * CHUNK
+                        + jnp.arange(CHUNK, dtype=jnp.int32))[:, :, None]
+                d = jnp.where(grow == gcol, jnp.inf, d)
+            dmin = jnp.min(d, axis=2)  # (bt, CHUNK)
+            at_min = d == dmin[:, :, None]
+            gidx = jnp.min(
+                jnp.where(at_min, jnp.broadcast_to(borig, d.shape), INT_MAX),
+                axis=2,
+            )
+            return dmin, gidx
+
+        nt = q_tiles.shape[0]
+        return jax.lax.map(
+            body,
+            (
+                q_tiles.reshape(nt // batch, batch, CHUNK, 3),
+                cand.reshape(nt // batch, batch, ncand),
+                tbases.reshape(nt // batch, batch),
+            ),
+        )
+
+    # ---- stage 1: refine the cap smallest-lb chunks per tile
     _, cand = jax.lax.top_k(-lb, cap)  # (nta, cap)
     cand = cand.astype(jnp.int32)
     tbases = jnp.arange(nta, dtype=jnp.int32)
-    batch = _pick_batch(nta)
-
-    b_perm_chunks = gb.perm.reshape(ncb, CHUNK)
-
-    def refine_body(args):
-        q, cidx, tbase = args
-        bt = q.shape[0]
-        cand_pts = b_chunks[cidx].reshape(bt, cap * CHUNK, 3)
-        d = _pairwise_sq(q, cand_pts)  # (bt, CHUNK, cap*CHUNK)
-        borig = b_perm_chunks[cidx].reshape(bt, 1, cap * CHUNK)
-        if exclude_self:
-            gcol = (cidx[:, :, None] * CHUNK
-                    + jnp.arange(CHUNK, dtype=jnp.int32)
-                    ).reshape(bt, 1, cap * CHUNK)
-            grow = (tbase[:, None] * CHUNK
-                    + jnp.arange(CHUNK, dtype=jnp.int32))[:, :, None]
-            d = jnp.where(grow == gcol, jnp.inf, d)
-        dmin = jnp.min(d, axis=2)  # (bt, CHUNK)
-        at_min = d == dmin[:, :, None]
-        gidx = jnp.min(
-            jnp.where(at_min, jnp.broadcast_to(borig, d.shape), INT_MAX),
-            axis=2,
-        )
-        return dmin, gidx
-
-    dmin, gidx = jax.lax.map(
-        refine_body,
-        (
-            a_tiles.reshape(nta // batch, batch, CHUNK, 3),
-            cand.reshape(nta // batch, batch, cap),
-            tbases.reshape(nta // batch, batch),
-        ),
-    )
+    dmin, gidx = refine(a_tiles, cand, tbases, cap, _pick_batch(nta))
     dmin = dmin.reshape(nta, CHUNK)
     gidx = gidx.reshape(nta, CHUNK)
 
-    # ---- exactness certificate
+    # ---- stage-1 exactness certificate
     ub = jnp.max(jnp.where(valid_t, dmin, -jnp.inf), axis=1)  # (nta,)
     ub_eff = ub * (1 + 8 * eps) + 8 * eps
     counts = jnp.sum(lb <= ub_eff[:, None], axis=1).astype(jnp.int32)
     n_over = jnp.sum(counts > cap)
-    overflow = n_over > fallback_tiles
 
-    # ---- exact brute-force fallback for the worst tiles
+    # ---- stage 2: re-refine the worst tiles with a much larger cap
+    # (octant-straddling wide-bbox tiles; <1-2% of tiles). The top-ft by
+    # count includes every over-cap tile whenever n_over <= ft, and
+    # re-solving an already-exact tile reproduces its result exactly.
     ft = min(fallback_tiles, nta)
+    cap2 = min(max(8 * cap, 512), ncb)
     dmin = dmin.reshape(nta * CHUNK)
     gidx = gidx.reshape(nta * CHUNK).astype(jnp.int32)
-    if ft > 0:
-        # top-ft by count includes every over-cap tile when n_over <= ft;
-        # re-solving an already-exact tile is harmless (results identical).
+    overflow = n_over > ft
+    if ft > 0 and cap2 > cap:
         _, otiles = jax.lax.top_k(counts, ft)
         otiles = otiles.astype(jnp.int32)
-        oq = a_tiles[otiles].reshape(ft * CHUNK, 3)
+        oq = a_tiles[otiles]  # (ft, CHUNK, 3)
+        olb = lb[otiles]  # (ft, ncb)
+        _, ocand = jax.lax.top_k(-olb, cap2)
+        ocand = ocand.astype(jnp.int32)
+        fb_d, fb_i = refine(oq, ocand, otiles, cap2, _pick_batch(ft, 4))
+        fb_d = fb_d.reshape(ft, CHUNK)
+        fb_i = fb_i.reshape(ft, CHUNK)
+        # stage-2 certificate on the re-refined tiles
+        ovalid = valid_t[otiles]
+        ub2 = jnp.max(jnp.where(ovalid, fb_d, -jnp.inf), axis=1)
+        ub2_eff = ub2 * (1 + 8 * eps) + 8 * eps
+        counts2 = jnp.sum(olb <= ub2_eff[:, None], axis=1)
+        overflow = overflow | jnp.any(counts2 > cap2)
         orows = (otiles[:, None] * CHUNK
                  + jnp.arange(CHUNK, dtype=jnp.int32)).reshape(ft * CHUNK)
-        fb_d, fb_i = _bruteforce_rows(oq, orows, b_chunks, gb.perm, exclude_self)
-        dmin = dmin.at[orows].set(fb_d)
-        gidx = gidx.at[orows].set(fb_i)
+        dmin = dmin.at[orows].set(fb_d.reshape(ft * CHUNK))
+        gidx = gidx.at[orows].set(fb_i.reshape(ft * CHUNK))
 
     return dmin, gidx, overflow
 
