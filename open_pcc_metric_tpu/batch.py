@@ -32,7 +32,7 @@ import numpy as np
 from .evaluate import load_cloud
 from .ops.fused import fused_evaluate
 from .utils import get_logger
-from .utils.profiling import Timer, mpoints_per_sec
+from .utils.profiling import mpoints_per_sec
 
 logger = get_logger(__name__)
 

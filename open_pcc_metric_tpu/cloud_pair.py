@@ -32,7 +32,6 @@ import numpy as np
 from .cloud import Cloud
 from .ops import nn as nn_ops
 from .ops import normals as normal_ops
-from .ops import obb as obb_ops
 
 # How the D2 (point-to-plane) projection picks its normals:
 #   "reference": the OPPOSITE cloud's normals indexed POSITIONALLY by the

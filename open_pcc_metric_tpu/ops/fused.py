@@ -25,7 +25,6 @@ import numpy as np
 from . import nn as nn_ops
 from . import normals as normal_ops
 from .color import get_color_peak, transform_colors
-from .obb import minimal_obb_extent
 
 
 def _masked_sum(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

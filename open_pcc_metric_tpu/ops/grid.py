@@ -17,7 +17,6 @@ chunks whose enormous bboxes are pruned away for free.
 """
 from __future__ import annotations
 
-import functools
 import typing
 
 import jax

@@ -25,47 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from .grid import CHUNK, ChunkGrid, bbox_lower_bounds, build_grid
-from .nn_pruned import _pairwise_sq, _pick_batch, INT_MAX
-
-
-def _merge_topk(run_d, run_i, d, i, k):
-    cand_d = jnp.concatenate([run_d, d], axis=1)
-    cand_i = jnp.concatenate([run_i, i], axis=1)
-    top_negd, pos = jax.lax.top_k(-cand_d, k)
-    return -top_negd, jnp.take_along_axis(cand_i, pos, axis=1)
-
-
-def _bruteforce_rows_knn(q, qrows, b_chunks, b_perm, k, exclude_self):
-    """Exact k-NN of R gathered query rows vs ALL b chunks (top-k merge scan)."""
-    r = q.shape[0]
-    dtype = q.dtype
-    ncb = b_chunks.shape[0]
-    g = _pick_batch(ncb, 8)
-    width = g * CHUNK
-
-    def step(carry, inp):
-        run_d, run_i = carry
-        bc, cbase, borig = inp
-        d = _pairwise_sq(q, bc)  # (r, width)
-        if exclude_self:
-            gcol = cbase + jnp.arange(width, dtype=jnp.int32)
-            d = jnp.where(qrows[:, None] == gcol[None, :], jnp.inf, d)
-        run_d, run_i = _merge_topk(
-            run_d, run_i, d, jnp.broadcast_to(borig[None, :], d.shape), k
-        )
-        return (run_d, run_i), None
-
-    init = (
-        jnp.full((r, k), jnp.inf, dtype),
-        jnp.full((r, k), INT_MAX, jnp.int32),
-    )
-    cbases = jnp.arange(ncb // g, dtype=jnp.int32) * width
-    (run_d, run_i), _ = jax.lax.scan(
-        step, init,
-        (b_chunks.reshape(ncb // g, width, 3), cbases,
-         b_perm.reshape(ncb // g, width)),
-    )
-    return run_d, run_i
+from .nn_pruned import _pairwise_sq, _pick_batch
 
 
 @functools.partial(
@@ -141,23 +101,63 @@ def knn_pruned_sorted(
     ub_eff = ub * (1 + 8 * eps) + 8 * eps
     counts = jnp.sum(lb <= ub_eff[:, None], axis=1).astype(jnp.int32)
     n_over = jnp.sum(counts > cap)
-    overflow = n_over > fallback_tiles
 
+    # ---- stage 2: re-refine the worst tiles with a much larger cap, then
+    # re-certify (same scheme as nn_pruned.nn_pruned_sorted).
     ft = min(fallback_tiles, nta)
+    cap2 = min(max(8 * cap, 512), ncb)
     p = nta * CHUNK
     dk = dk.reshape(p, k)
     ik = ik.reshape(p, k).astype(jnp.int32)
-    if ft > 0:
+    overflow = n_over > ft
+    if ft > 0 and cap2 > cap:
         _, otiles = jax.lax.top_k(counts, ft)
         otiles = otiles.astype(jnp.int32)
-        oq = a_tiles[otiles].reshape(ft * CHUNK, 3)
+        oq = a_tiles[otiles]  # (ft, CHUNK, 3)
+        olb = lb[otiles]
+        _, ocand = jax.lax.top_k(-olb, cap2)
+        ocand = ocand.astype(jnp.int32)
+
+        def refine2(args):
+            q, cidx, tbase = args
+            bt = q.shape[0]
+            cand_pts = b_chunks[cidx].reshape(bt, cap2 * CHUNK, 3)
+            d = _pairwise_sq(q, cand_pts)
+            borig = jnp.broadcast_to(
+                b_perm_chunks[cidx].reshape(bt, 1, cap2 * CHUNK), d.shape
+            )
+            if exclude_self:
+                gcol = (cidx[:, :, None] * CHUNK
+                        + jnp.arange(CHUNK, dtype=jnp.int32)
+                        ).reshape(bt, 1, cap2 * CHUNK)
+                grow = (tbase[:, None] * CHUNK
+                        + jnp.arange(CHUNK, dtype=jnp.int32))[:, :, None]
+                d = jnp.where(grow == gcol, jnp.inf, d)
+            top_negd, pos = jax.lax.top_k(-d, k)
+            return -top_negd, jnp.take_along_axis(borig, pos, axis=2)
+
+        b2 = _pick_batch(ft, 2)
+        fb_d, fb_i = jax.lax.map(
+            refine2,
+            (
+                oq.reshape(ft // b2, b2, CHUNK, 3),
+                ocand.reshape(ft // b2, b2, cap2),
+                otiles.reshape(ft // b2, b2),
+            ),
+        )
+        fb_d = fb_d.reshape(ft, CHUNK, k)
+        fb_i = fb_i.reshape(ft, CHUNK, k)
+        ovalid = valid_t[otiles]
+        ub2 = jnp.max(
+            jnp.where(ovalid, fb_d[:, :, k - 1], -jnp.inf), axis=1
+        )
+        ub2_eff = ub2 * (1 + 8 * eps) + 8 * eps
+        counts2 = jnp.sum(olb <= ub2_eff[:, None], axis=1)
+        overflow = overflow | jnp.any(counts2 > cap2)
         orows = (otiles[:, None] * CHUNK
                  + jnp.arange(CHUNK, dtype=jnp.int32)).reshape(ft * CHUNK)
-        fb_d, fb_i = _bruteforce_rows_knn(
-            oq, orows, b_chunks, gb.perm, k, exclude_self
-        )
-        dk = dk.at[orows].set(fb_d)
-        ik = ik.at[orows].set(fb_i)
+        dk = dk.at[orows].set(fb_d.reshape(ft * CHUNK, k))
+        ik = ik.at[orows].set(fb_i.reshape(ft * CHUNK, k))
 
     return dk, ik, overflow
 

@@ -20,7 +20,6 @@ and runs identically on a virtual CPU mesh (tests) and a real TPU slice.
 """
 from __future__ import annotations
 
-import functools
 import typing
 
 import jax
