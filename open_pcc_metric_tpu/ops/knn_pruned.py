@@ -65,27 +65,52 @@ def knn_pruned_sorted(
     tbases = jnp.arange(nta, dtype=jnp.int32)
     batch = _pick_batch(nta, 8)  # k-wide temporaries: smaller tile batches
 
-    def refine_body(args):
-        q, cidx, tbase = args
-        bt = q.shape[0]
-        cand_pts = b_chunks[cidx].reshape(bt, cap * CHUNK, 3)
-        d = _pairwise_sq(q, cand_pts)  # (bt, CHUNK, cap*CHUNK)
-        borig = jnp.broadcast_to(
-            b_perm_chunks[cidx].reshape(bt, 1, cap * CHUNK), d.shape
-        )
-        if exclude_self:
-            gcol = (cidx[:, :, None] * CHUNK
-                    + jnp.arange(CHUNK, dtype=jnp.int32)
-                    ).reshape(bt, 1, cap * CHUNK)
-            grow = (tbase[:, None] * CHUNK
-                    + jnp.arange(CHUNK, dtype=jnp.int32))[:, :, None]
-            d = jnp.where(grow == gcol, jnp.inf, d)
-        top_negd, pos = jax.lax.top_k(-d, k)  # (bt, CHUNK, k)
-        idx = jnp.take_along_axis(borig, pos, axis=2)
-        return -top_negd, idx
+    int_max = jnp.iinfo(jnp.int32).max
+
+    def _extract_k(d, borig):
+        """k rounds of (min, mask-out) over the candidate axis.
+
+        Pure VPU compare/select work — XLA's top_k lowers to a sort whose
+        scratch faults the TPU worker at 100k-wide rows and runs ~100x
+        slower than this at k=30. Returns ascending (d_k, idx_k)."""
+        # borig is unique per row (candidate chunks are distinct), so the
+        # selected candidate can be identified and masked by its original
+        # index — no gathers anywhere in the loop.
+        def step(dcur, _):
+            m = jnp.min(dcur, axis=-1, keepdims=True)
+            at_min = dcur == m
+            ii = jnp.min(
+                jnp.where(at_min, borig, int_max), axis=-1, keepdims=True
+            )
+            dnext = jnp.where(at_min & (borig == ii), jnp.inf, dcur)
+            return dnext, (m[..., 0], ii[..., 0])
+
+        _, (ds, idxs) = jax.lax.scan(step, d, None, length=k)
+        # (k, bt, CHUNK) -> (bt, CHUNK, k)
+        return jnp.moveaxis(ds, 0, -1), jnp.moveaxis(idxs, 0, -1)
+
+    def make_refine(ncand):
+        def refine_body(args):
+            q, cidx, tbase = args  # (bt, CHUNK, 3), (bt, ncand), (bt,)
+            bt = q.shape[0]
+            cand_pts = b_chunks[cidx].reshape(bt, ncand * CHUNK, 3)
+            d = _pairwise_sq(q, cand_pts)  # (bt, CHUNK, ncand*CHUNK)
+            borig = jnp.broadcast_to(
+                b_perm_chunks[cidx].reshape(bt, 1, ncand * CHUNK), d.shape
+            )
+            if exclude_self:
+                gcol = (cidx[:, :, None] * CHUNK
+                        + jnp.arange(CHUNK, dtype=jnp.int32)
+                        ).reshape(bt, 1, ncand * CHUNK)
+                grow = (tbase[:, None] * CHUNK
+                        + jnp.arange(CHUNK, dtype=jnp.int32))[:, :, None]
+                d = jnp.where(grow == gcol, jnp.inf, d)
+            return _extract_k(d, borig)
+
+        return refine_body
 
     dk, ik = jax.lax.map(
-        refine_body,
+        make_refine(cap),
         (
             a_tiles.reshape(nta // batch, batch, CHUNK, 3),
             cand.reshape(nta // batch, batch, cap),
@@ -118,27 +143,9 @@ def knn_pruned_sorted(
         _, ocand = jax.lax.top_k(-olb, cap2)
         ocand = ocand.astype(jnp.int32)
 
-        def refine2(args):
-            q, cidx, tbase = args
-            bt = q.shape[0]
-            cand_pts = b_chunks[cidx].reshape(bt, cap2 * CHUNK, 3)
-            d = _pairwise_sq(q, cand_pts)
-            borig = jnp.broadcast_to(
-                b_perm_chunks[cidx].reshape(bt, 1, cap2 * CHUNK), d.shape
-            )
-            if exclude_self:
-                gcol = (cidx[:, :, None] * CHUNK
-                        + jnp.arange(CHUNK, dtype=jnp.int32)
-                        ).reshape(bt, 1, cap2 * CHUNK)
-                grow = (tbase[:, None] * CHUNK
-                        + jnp.arange(CHUNK, dtype=jnp.int32))[:, :, None]
-                d = jnp.where(grow == gcol, jnp.inf, d)
-            top_negd, pos = jax.lax.top_k(-d, k)
-            return -top_negd, jnp.take_along_axis(borig, pos, axis=2)
-
-        b2 = _pick_batch(ft, 2)
+        b2 = 1  # cap2*CHUNK-wide rows: keep the distance buffer ~130 MB
         fb_d, fb_i = jax.lax.map(
-            refine2,
+            make_refine(cap2),
             (
                 oq.reshape(ft // b2, b2, CHUNK, 3),
                 ocand.reshape(ft // b2, b2, cap2),
@@ -182,6 +189,11 @@ def _knn_pruned_jit(a_points, b_points, n_a, n_b, k, exclude_self, cap,
     return jnp.take(ik, inv, axis=0), jnp.take(dk, inv, axis=0), overflow
 
 
+# Remembers the (cap, fallback_tiles) level that worked per problem shape so
+# repeated calls skip the cheaper-but-overflowing levels entirely.
+_ESCALATION_MEMO: dict = {}
+
+
 def knn_pruned(
     a_points: jnp.ndarray,
     b_points: jnp.ndarray,
@@ -189,8 +201,8 @@ def knn_pruned(
     n_b: typing.Union[int, jnp.ndarray],
     k: int,
     exclude_self: bool = False,
-    cap: int = 32,
-    fallback_tiles: int = 128,
+    cap: int = 64,
+    fallback_tiles: int = 256,
 ) -> typing.Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact pruned k-NN in ORIGINAL order with automatic escalation.
 
@@ -198,12 +210,15 @@ def knn_pruned(
     """
     nta = a_points.shape[0] // CHUNK
     ncb = b_points.shape[0] // CHUNK
+    key = (a_points.shape[0], b_points.shape[0], k, exclude_self)
+    cap, fallback_tiles = _ESCALATION_MEMO.get(key, (cap, fallback_tiles))
     while True:
         idx, d, overflow = _knn_pruned_jit(
             a_points, b_points, jnp.asarray(n_a), jnp.asarray(n_b), k,
             exclude_self, cap, fallback_tiles,
         )
         if fallback_tiles >= nta or not bool(overflow):
+            _ESCALATION_MEMO[key] = (cap, fallback_tiles)
             return idx, d
         cap = min(cap * 4, ncb)
         fallback_tiles = min(fallback_tiles * 4, nta)

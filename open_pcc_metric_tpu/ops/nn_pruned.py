@@ -233,6 +233,9 @@ def nn_pruned_with_grids(
         fallback_tiles = min(fallback_tiles * 4, nta)
 
 
+_ESCALATION_MEMO: dict = {}
+
+
 def nn_pruned(
     a_points: jnp.ndarray,
     b_points: jnp.ndarray,
@@ -247,16 +250,21 @@ def nn_pruned(
     Returns ``(idx int32 (Pa,), dist_sq (Pa,))``. Exact whenever the number
     of certificate-failing tiles fits the fallback budget; otherwise both cap
     and budget escalate x4 until the fallback covers every tile (which
-    degenerates to brute force, so exactness always holds).
+    degenerates to brute force, so exactness always holds). The working
+    level is remembered per problem shape, so repeat calls skip the
+    overflowing levels.
     """
     nta = a_points.shape[0] // CHUNK
     ncb = b_points.shape[0] // CHUNK
+    key = (a_points.shape[0], b_points.shape[0], exclude_self)
+    cap, fallback_tiles = _ESCALATION_MEMO.get(key, (cap, fallback_tiles))
     while True:
         idx, d, overflow = _nn_pruned_jit(
             a_points, b_points, jnp.asarray(n_a), jnp.asarray(n_b),
             exclude_self, cap, fallback_tiles=fallback_tiles,
         )
         if fallback_tiles >= nta or not bool(overflow):
+            _ESCALATION_MEMO[key] = (cap, fallback_tiles)
             return idx, d
         cap = min(cap * 4, ncb)
         fallback_tiles = min(fallback_tiles * 4, nta)
