@@ -28,8 +28,18 @@ from .grid import CHUNK, ChunkGrid, bbox_lower_bounds, build_grid
 from .nn_pruned import _pairwise_sq, _pick_batch
 
 
+def _resolve_refine_impl(impl: str, dtype) -> str:
+    if impl != "auto":
+        return impl
+    if jax.default_backend() == "tpu" and dtype == jnp.float32:
+        return "pallas"
+    return "xla"
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k", "exclude_self", "cap", "fallback_tiles")
+    jax.jit,
+    static_argnames=("k", "exclude_self", "cap", "fallback_tiles",
+                     "refine_impl"),
 )
 def knn_pruned_sorted(
     ga: ChunkGrid,
@@ -39,6 +49,7 @@ def knn_pruned_sorted(
     exclude_self: bool = False,
     cap: int = 32,
     fallback_tiles: int = 128,
+    refine_impl: str = "auto",
 ) -> typing.Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """k-NN in Morton-sorted query order; ORIGINAL neighbour indices.
 
@@ -109,16 +120,30 @@ def knn_pruned_sorted(
 
         return refine_body
 
-    dk, ik = jax.lax.map(
-        make_refine(cap),
-        (
-            a_tiles.reshape(nta // batch, batch, CHUNK, 3),
-            cand.reshape(nta // batch, batch, cap),
-            tbases.reshape(nta // batch, batch),
-        ),
-    )
-    dk = dk.reshape(nta, CHUNK, k)
-    ik = ik.reshape(nta, CHUNK, k)
+    impl = _resolve_refine_impl(refine_impl, dtype)
+    if impl in ("pallas", "pallas_interpret"):
+        from .refine_pallas import refine_knn_pallas
+
+        qt8 = jnp.pad(ga.points, ((0, 0), (0, 5))).T
+        bt8 = qt8 if gb is ga else jnp.pad(gb.points, ((0, 0), (0, 5))).T
+        dk, ik = refine_knn_pallas(
+            qt8, bt8, gb.perm[None, :], cand, k,
+            exclude_self=exclude_self,
+            interpret=(impl == "pallas_interpret"),
+        )
+        dk = dk.reshape(nta, CHUNK, k)
+        ik = ik.reshape(nta, CHUNK, k)
+    else:
+        dk, ik = jax.lax.map(
+            make_refine(cap),
+            (
+                a_tiles.reshape(nta // batch, batch, CHUNK, 3),
+                cand.reshape(nta // batch, batch, cap),
+                tbases.reshape(nta // batch, batch),
+            ),
+        )
+        dk = dk.reshape(nta, CHUNK, k)
+        ik = ik.reshape(nta, CHUNK, k)
 
     # ---- certificate on the k-th distance
     kth = dk[:, :, k - 1]

@@ -57,8 +57,19 @@ def _pick_batch(n: int, preferred: int = 32) -> int:
     return 1
 
 
+def _resolve_refine_impl(impl: str, dtype) -> str:
+    if impl != "auto":
+        return impl
+    # The Pallas refine kernel is exact and available, but the XLA refine
+    # (32 tiles fused per step) currently beats it for 1-NN (0.13s vs 0.25s
+    # at 800k: 106k one-chunk grid steps pay too much per-step overhead).
+    # It remains the default OFF until the in-kernel candidate loop lands.
+    return "xla"
+
+
 @functools.partial(
-    jax.jit, static_argnames=("exclude_self", "cap", "fallback_tiles")
+    jax.jit,
+    static_argnames=("exclude_self", "cap", "fallback_tiles", "refine_impl"),
 )
 def nn_pruned_sorted(
     ga: ChunkGrid,
@@ -67,6 +78,7 @@ def nn_pruned_sorted(
     exclude_self: bool = False,
     cap: int = 32,
     fallback_tiles: int = 128,
+    refine_impl: str = "auto",
 ) -> typing.Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """1-NN in Morton-sorted order.
 
@@ -95,7 +107,31 @@ def nn_pruned_sorted(
 
     b_perm_chunks = gb.perm.reshape(ncb, CHUNK)
 
-    def refine(q_tiles, cand, tbases, ncand, batch):
+    impl = _resolve_refine_impl(refine_impl, dtype)
+    if impl in ("pallas", "pallas_interpret"):
+        from .refine_pallas import refine_nn_pallas
+
+        qt8 = jnp.pad(ga.points, ((0, 0), (0, 5))).T
+        bt8 = qt8 if gb is ga else jnp.pad(gb.points, ((0, 0), (0, 5))).T
+        borig_row = gb.perm[None, :]
+
+        def refine(q_tiles, cand, tbases, ncand, batch):
+            # Stage-1 only: the full contiguous tile range starting at 0.
+            d, ii = refine_nn_pallas(
+                qt8,
+                bt8,
+                borig_row,
+                cand,
+                exclude_self=exclude_self,
+                interpret=(impl == "pallas_interpret"),
+            )
+            return d.reshape(nta, CHUNK), ii.reshape(nta, CHUNK)
+
+        pallas_mode = True
+    else:
+        pallas_mode = False
+
+    def refine_xla(q_tiles, cand, tbases, ncand, batch):
         """Min + lowest-orig-index argmin over each tile's candidate chunks."""
 
         def body(args):
@@ -120,7 +156,7 @@ def nn_pruned_sorted(
             return dmin, gidx
 
         nt = q_tiles.shape[0]
-        return jax.lax.map(
+        dm, gi = jax.lax.map(
             body,
             (
                 q_tiles.reshape(nt // batch, batch, CHUNK, 3),
@@ -128,14 +164,16 @@ def nn_pruned_sorted(
                 tbases.reshape(nt // batch, batch),
             ),
         )
+        return dm.reshape(nt, CHUNK), gi.reshape(nt, CHUNK)
+
+    if not pallas_mode:
+        refine = refine_xla
 
     # ---- stage 1: refine the cap smallest-lb chunks per tile
     _, cand = jax.lax.top_k(-lb, cap)  # (nta, cap)
     cand = cand.astype(jnp.int32)
     tbases = jnp.arange(nta, dtype=jnp.int32)
     dmin, gidx = refine(a_tiles, cand, tbases, cap, _pick_batch(nta))
-    dmin = dmin.reshape(nta, CHUNK)
-    gidx = gidx.reshape(nta, CHUNK)
 
     # ---- stage-1 exactness certificate
     ub = jnp.max(jnp.where(valid_t, dmin, -jnp.inf), axis=1)  # (nta,)
@@ -159,9 +197,9 @@ def nn_pruned_sorted(
         olb = lb[otiles]  # (ft, ncb)
         _, ocand = jax.lax.top_k(-olb, cap2)
         ocand = ocand.astype(jnp.int32)
-        fb_d, fb_i = refine(oq, ocand, otiles, cap2, _pick_batch(ft, 4))
-        fb_d = fb_d.reshape(ft, CHUNK)
-        fb_i = fb_i.reshape(ft, CHUNK)
+        # Stage-2 tiles are scattered (not contiguous), so the pallas path
+        # cannot slice a query range — use the XLA refine there; ft is small.
+        fb_d, fb_i = refine_xla(oq, ocand, otiles, cap2, _pick_batch(ft, 4))
         # stage-2 certificate on the re-refined tiles
         ovalid = valid_t[otiles]
         ub2 = jnp.max(jnp.where(ovalid, fb_d, -jnp.inf), axis=1)

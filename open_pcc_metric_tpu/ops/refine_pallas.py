@@ -1,0 +1,264 @@
+"""Pallas TPU kernels for pruned-NN candidate refinement.
+
+The pruned search (ops/nn_pruned.py, ops/knn_pruned.py) spends its time in
+"refinement": for every 256-query Morton tile, compute distances to the
+tile's `cap` candidate chunks and keep the best (1 or k). The XLA version
+(lax.map + gathers) streams candidate buffers through HBM; these kernels use
+the canonical scalar-prefetch pattern instead:
+
+  * the (nta, cap) candidate-chunk table is a scalar-prefetch argument, so
+    the candidate block's BlockSpec index_map reads it directly — Pallas
+    double-buffers the chunk DMAs automatically;
+  * distances use exact difference-form float32 on the VPU: the query column
+    q[:, k] (sublane vector) minus the candidate row b[k, :] (lane vector)
+    broadcasts to the (256, 256) tile naturally, no MXU precision caveats;
+  * the running (min, lowest-original-index argmin) lives in the revisited
+    output block; for k-NN the output block itself is the running sorted
+    k-buffer, merged in-VMEM with k rounds of min+mask — no HBM round trips
+    (the XLA path re-reads the candidate set k times).
+
+Layouts: queries and candidates come in coordinate-major transposed form
+(8, P) (3 coords zero-padded to 8 sublanes), built by the callers.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .grid import CHUNK
+
+INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+def _diff_form_dist(qt, bt):
+    """(8, C) queries x (8, C) candidates -> (C, C) squared distances.
+
+    Exact f32: d[r, c] = sum_k (qt[k, r] - bt[k, c])^2, accumulated per
+    coordinate with sublane-vector minus lane-vector broadcasts.
+    """
+    d = None
+    for k in range(3):
+        qk = qt[k, :].reshape(CHUNK, 1)  # queries down sublanes
+        bk = bt[k, :].reshape(1, CHUNK)  # candidates across lanes
+        diff = qk - bk
+        d = diff * diff if d is None else d + diff * diff
+    return d
+
+
+def _nn_kernel(cand_ref, off_ref, qt_ref, bt_ref, borig_ref,
+               bestd_ref, besti_ref, *, exclude_self):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        bestd_ref[:] = jnp.full_like(bestd_ref, jnp.inf)
+        besti_ref[:] = jnp.full_like(besti_ref, INT_MAX)
+
+    d = _diff_form_dist(qt_ref[:], bt_ref[:])  # (CHUNK, CHUNK)
+    if exclude_self:
+        cj = cand_ref[i, j]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0) \
+            + (off_ref[0] + i) * CHUNK
+        cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1) \
+            + cj * CHUNK
+        d = jnp.where(rows == cols, jnp.inf, d)
+
+    dmin = jnp.min(d, axis=1, keepdims=True)  # (CHUNK, 1)
+    at_min = d == dmin
+    bor = borig_ref[:]  # (1, CHUNK)
+    ii = jnp.min(
+        jnp.where(at_min, jnp.broadcast_to(bor, d.shape), INT_MAX),
+        axis=1, keepdims=True,
+    )
+    better = (dmin < bestd_ref[:]) | (
+        (dmin == bestd_ref[:]) & (ii < besti_ref[:])
+    )
+    bestd_ref[:] = jnp.where(better, dmin, bestd_ref[:])
+    besti_ref[:] = jnp.where(better, ii, besti_ref[:])
+
+
+# Tiles per pallas_call: bounds the scalar-prefetch table (group*cap int32)
+# well under the ~1 MB SMEM budget.
+TILE_GROUP = 512
+
+
+def _nn_group(qt8_g, tbase, bt8, borig, cand_g, exclude_self, interpret):
+    gt, cap = cand_g.shape
+
+    kernel = functools.partial(_nn_kernel, exclude_self=exclude_self)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # cand table + group tile offset
+        grid=(gt, cap),
+        in_specs=[
+            pl.BlockSpec((8, CHUNK), lambda i, j, cand, off: (0, i)),
+            pl.BlockSpec((8, CHUNK), lambda i, j, cand, off: (0, cand[i, j])),
+            pl.BlockSpec((1, CHUNK), lambda i, j, cand, off: (0, cand[i, j])),
+        ],
+        out_specs=[
+            pl.BlockSpec((CHUNK, 1), lambda i, j, cand, off: (i, 0)),
+            pl.BlockSpec((CHUNK, 1), lambda i, j, cand, off: (i, 0)),
+        ],
+    )
+    bestd, besti = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((gt * CHUNK, 1), jnp.float32),
+            jax.ShapeDtypeStruct((gt * CHUNK, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(cand_g, tbase, qt8_g, bt8, borig)
+    return bestd[:, 0], besti[:, 0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("exclude_self", "interpret")
+)
+def refine_nn_pallas(
+    qt8: jnp.ndarray,  # (8, Pa) coord-major sorted queries
+    bt8: jnp.ndarray,  # (8, Pb) coord-major sorted search points
+    borig: jnp.ndarray,  # (1, Pb) int32 original indices of sorted b rows
+    cand: jnp.ndarray,  # (nta, cap) int32 candidate chunk ids per tile
+    exclude_self: bool = False,
+    interpret: bool = False,
+):
+    """Returns ``(dmin (Pa,), best_orig_idx (Pa,))`` over each tile's
+    candidate chunks (exact f32 distances, lowest-orig-index ties)."""
+    nta, cap = cand.shape
+    d_parts, i_parts = [], []
+    for g0 in range(0, nta, TILE_GROUP):
+        gt = min(TILE_GROUP, nta - g0)
+        d_g, i_g = _nn_group(
+            jax.lax.slice_in_dim(qt8, g0 * CHUNK, (g0 + gt) * CHUNK, axis=1),
+            jnp.array([g0], jnp.int32),
+            bt8,
+            borig,
+            jax.lax.slice_in_dim(cand, g0, g0 + gt, axis=0),
+            exclude_self,
+            interpret,
+        )
+        d_parts.append(d_g)
+        i_parts.append(i_g)
+    return jnp.concatenate(d_parts), jnp.concatenate(i_parts)
+
+
+def _knn_kernel(cand_ref, off_ref, qt_ref, bt_ref, borig_ref, dk_ref, ik_ref,
+                *, k, exclude_self):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        dk_ref[:] = jnp.full_like(dk_ref, jnp.inf)
+        ik_ref[:] = jnp.full_like(ik_ref, INT_MAX)
+
+    d = _diff_form_dist(qt_ref[:], bt_ref[:])  # (CHUNK, CHUNK)
+    if exclude_self:
+        cj = cand_ref[i, j]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0) \
+            + (off_ref[0] + i) * CHUNK
+        cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1) \
+            + cj * CHUNK
+        d = jnp.where(rows == cols, jnp.inf, d)
+
+    # Merge only when this chunk could improve some query's k-th best:
+    # candidate chunks arrive in ascending lower-bound order, so after the
+    # first few chunks fill the buffers, most later chunks skip the (15x
+    # more expensive) merge entirely.
+    improves = jnp.any(jnp.min(d, axis=1) < dk_ref[:, k - 1])
+
+    @pl.when(improves)
+    def _merge():
+        bor = jnp.broadcast_to(borig_ref[:], d.shape)
+        # In-VMEM merge: concat the running k-buffer with this chunk's
+        # distances and re-extract the k best (min + mask-by-original-index;
+        # borig is unique per row since candidate chunks are distinct).
+        cand_d = jnp.concatenate([dk_ref[:], d], axis=1)  # (CHUNK, k+CHUNK)
+        cand_i = jnp.concatenate([ik_ref[:], bor], axis=1)
+
+        # Unrolled: Mosaic cannot lower lax.scan with array carries
+        # in-kernel, and k is a small static constant.
+        ds_cols = []
+        is_cols = []
+        dcur = cand_d
+        for _ in range(k):
+            m = jnp.min(dcur, axis=1, keepdims=True)
+            at_min = dcur == m
+            ii = jnp.min(jnp.where(at_min, cand_i, INT_MAX), axis=1,
+                         keepdims=True)
+            dcur = jnp.where(at_min & (cand_i == ii), jnp.inf, dcur)
+            ds_cols.append(m)
+            is_cols.append(ii)
+        dk_ref[:] = jnp.concatenate(ds_cols, axis=1)  # (CHUNK, k)
+        ik_ref[:] = jnp.concatenate(is_cols, axis=1)
+
+
+def _knn_group(qt8_g, tbase, bt8, borig, cand_g, k, exclude_self, interpret):
+    gt, cap = cand_g.shape
+
+    kernel = functools.partial(_knn_kernel, k=k, exclude_self=exclude_self)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(gt, cap),
+        in_specs=[
+            pl.BlockSpec((8, CHUNK), lambda i, j, cand, off: (0, i)),
+            pl.BlockSpec((8, CHUNK), lambda i, j, cand, off: (0, cand[i, j])),
+            pl.BlockSpec((1, CHUNK), lambda i, j, cand, off: (0, cand[i, j])),
+        ],
+        out_specs=[
+            pl.BlockSpec((CHUNK, k), lambda i, j, cand, off: (i, 0)),
+            pl.BlockSpec((CHUNK, k), lambda i, j, cand, off: (i, 0)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((gt * CHUNK, k), jnp.float32),
+            jax.ShapeDtypeStruct((gt * CHUNK, k), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(cand_g, tbase, qt8_g, bt8, borig)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "exclude_self", "interpret")
+)
+def refine_knn_pallas(
+    qt8: jnp.ndarray,
+    bt8: jnp.ndarray,
+    borig: jnp.ndarray,
+    cand: jnp.ndarray,
+    k: int,
+    exclude_self: bool = False,
+    interpret: bool = False,
+):
+    """Returns ``(dk (Pa, k), idx (Pa, k))`` ascending by distance."""
+    nta, cap = cand.shape
+    d_parts, i_parts = [], []
+    for g0 in range(0, nta, TILE_GROUP):
+        gt = min(TILE_GROUP, nta - g0)
+        dk, ik = _knn_group(
+            jax.lax.slice_in_dim(qt8, g0 * CHUNK, (g0 + gt) * CHUNK, axis=1),
+            jnp.array([g0], jnp.int32),
+            bt8,
+            borig,
+            jax.lax.slice_in_dim(cand, g0, g0 + gt, axis=0),
+            k,
+            exclude_self,
+            interpret,
+        )
+        d_parts.append(dk)
+        i_parts.append(ik)
+    return jnp.concatenate(d_parts), jnp.concatenate(i_parts)

@@ -39,3 +39,43 @@ def test_interpret_tie_break_lowest_index():
     b[:, 0] = 7.0  # all equidistant
     idx = np.asarray(nn_argmin(_pad32(a), _pad32(b), interpret=True))
     assert idx[0] == 0
+
+
+def test_pruned_refine_pallas_interpret_matches_xla():
+    """The Pallas refinement kernel (interpret mode) must reproduce the XLA
+    refine path bit-for-bit through the full pruned pipeline."""
+    from open_pcc_metric_tpu.ops.nn_pruned import nn_pruned_sorted
+
+    rng = np.random.default_rng(41)
+    pts = rng.integers(0, 512, (3000, 3)).astype(np.float64)
+    a = Cloud.from_numpy(pts, dtype=jnp.float32)
+    ga = a.get_grid()
+    for ex in (False, True):
+        d1, i1, ov1 = nn_pruned_sorted(
+            ga, ga, jnp.asarray(a.n), exclude_self=ex, refine_impl="xla"
+        )
+        d2, i2, ov2 = nn_pruned_sorted(
+            ga, ga, jnp.asarray(a.n), exclude_self=ex,
+            refine_impl="pallas_interpret",
+        )
+        n = a.n
+        np.testing.assert_array_equal(np.asarray(d1)[:n], np.asarray(d2)[:n])
+        np.testing.assert_array_equal(np.asarray(i1)[:n], np.asarray(i2)[:n])
+
+
+def test_pruned_knn_pallas_interpret_matches_xla():
+    from open_pcc_metric_tpu.ops.knn_pruned import knn_pruned_sorted
+
+    rng = np.random.default_rng(42)
+    pts = rng.uniform(0, 100, (2000, 3))
+    a = Cloud.from_numpy(pts, dtype=jnp.float32)
+    ga = a.get_grid()
+    d1, i1, _ = knn_pruned_sorted(
+        ga, ga, jnp.asarray(a.n), 10, refine_impl="xla"
+    )
+    d2, i2, _ = knn_pruned_sorted(
+        ga, ga, jnp.asarray(a.n), 10, refine_impl="pallas_interpret"
+    )
+    n = a.n
+    np.testing.assert_array_equal(np.asarray(d1)[:n], np.asarray(d2)[:n])
+    np.testing.assert_array_equal(np.asarray(i1)[:n], np.asarray(i2)[:n])
