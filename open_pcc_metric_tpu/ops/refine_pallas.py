@@ -262,3 +262,147 @@ def refine_knn_pallas(
         d_parts.append(dk)
         i_parts.append(ik)
     return jnp.concatenate(d_parts), jnp.concatenate(i_parts)
+
+
+# ---------------------------------------------------------------------------
+# Fused-loop variant: one grid step per TILE with a manual double-buffered
+# DMA loop over the candidate chunks. Amortises the per-grid-step overhead
+# that dominates the (tile, chunk) grid at ~100k steps.
+# ---------------------------------------------------------------------------
+
+
+def _nn_kernel_fused(cand_ref, off_ref, q_ref, bhbm_ref, borig_hbm_ref,
+                     bestd_ref, besti_ref, bbuf, ibuf, bsem, isem,
+                     *, cap, exclude_self):
+    i = pl.program_id(0)
+    q = q_ref[:]  # (8, CHUNK)
+
+    def b_dma(slot, j):
+        cj = cand_ref[i, j]
+        return pltpu.make_async_copy(
+            bhbm_ref.at[:, pl.ds(cj * CHUNK, CHUNK)], bbuf.at[slot],
+            bsem.at[slot],
+        )
+
+    def i_dma(slot, j):
+        cj = cand_ref[i, j]
+        return pltpu.make_async_copy(
+            borig_hbm_ref.at[:, pl.ds(cj * CHUNK, CHUNK)], ibuf.at[slot],
+            isem.at[slot],
+        )
+
+    b_dma(0, 0).start()
+    i_dma(0, 0).start()
+
+    def body(j, carry):
+        bestd, besti = carry
+        slot = jax.lax.rem(j, 2)
+        nxt = jax.lax.rem(j + 1, 2)
+
+        @pl.when(j + 1 < cap)
+        def _prefetch():
+            b_dma(nxt, j + 1).start()
+            i_dma(nxt, j + 1).start()
+
+        b_dma(slot, j).wait()
+        i_dma(slot, j).wait()
+        bt = bbuf[slot]  # (8, CHUNK)
+        d = _diff_form_dist(q, bt)
+        if exclude_self:
+            cj = cand_ref[i, j]
+            rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0) \
+                + (off_ref[0] + i) * CHUNK
+            cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1) \
+                + cj * CHUNK
+            d = jnp.where(rows == cols, jnp.inf, d)
+        dmin = jnp.min(d, axis=1, keepdims=True)
+        at_min = d == dmin
+        bor = ibuf[slot]  # (1, CHUNK)
+        ii = jnp.min(
+            jnp.where(at_min, jnp.broadcast_to(bor, d.shape), INT_MAX),
+            axis=1, keepdims=True,
+        )
+        better = (dmin < bestd) | ((dmin == bestd) & (ii < besti))
+        return (
+            jnp.where(better, dmin, bestd),
+            jnp.where(better, ii, besti),
+        )
+
+    init = (
+        jnp.full((CHUNK, 1), jnp.inf, jnp.float32),
+        jnp.full((CHUNK, 1), INT_MAX, jnp.int32),
+    )
+    bestd, besti = jax.lax.fori_loop(0, cap, body, init)
+    bestd_ref[:] = bestd
+    besti_ref[:] = besti
+
+
+def _nn_group_fused(qt8_g, tbase, bt8, borig, cand_g, exclude_self,
+                    interpret):
+    gt, cap = cand_g.shape
+
+    kernel = functools.partial(
+        _nn_kernel_fused, cap=cap, exclude_self=exclude_self
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(gt,),
+        in_specs=[
+            pl.BlockSpec((8, CHUNK), lambda i, cand, off: (0, i)),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # bt8 stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # borig stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((CHUNK, 1), lambda i, cand, off: (i, 0)),
+            pl.BlockSpec((CHUNK, 1), lambda i, cand, off: (i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, CHUNK), jnp.float32),
+            pltpu.VMEM((2, 1, CHUNK), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    bestd, besti = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((gt * CHUNK, 1), jnp.float32),
+            jax.ShapeDtypeStruct((gt * CHUNK, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(cand_g, tbase, qt8_g, bt8, borig)
+    return bestd[:, 0], besti[:, 0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("exclude_self", "interpret")
+)
+def refine_nn_pallas_fused(
+    qt8: jnp.ndarray,
+    bt8: jnp.ndarray,
+    borig: jnp.ndarray,
+    cand: jnp.ndarray,
+    exclude_self: bool = False,
+    interpret: bool = False,
+):
+    """Fused-candidate-loop variant of refine_nn_pallas (same results)."""
+    nta, cap = cand.shape
+    d_parts, i_parts = [], []
+    for g0 in range(0, nta, TILE_GROUP):
+        gt = min(TILE_GROUP, nta - g0)
+        d_g, i_g = _nn_group_fused(
+            jax.lax.slice_in_dim(qt8, g0 * CHUNK, (g0 + gt) * CHUNK, axis=1),
+            jnp.array([g0], jnp.int32),
+            bt8,
+            borig,
+            jax.lax.slice_in_dim(cand, g0, g0 + gt, axis=0),
+            exclude_self,
+            interpret,
+        )
+        d_parts.append(d_g)
+        i_parts.append(i_g)
+    return jnp.concatenate(d_parts), jnp.concatenate(i_parts)

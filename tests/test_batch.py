@@ -110,3 +110,25 @@ def test_timer_and_counters():
         pass
     assert "a" in t.times and t.total() >= 0
     assert mpoints_per_sec(2_000_000, 2.0) == 1.0
+
+
+class TestMultihost:
+    def test_shard_items_partition(self):
+        from open_pcc_metric_tpu.parallel import multihost
+
+        items = list(range(10))
+        parts = [multihost.shard_items(items, index=i, count=3)
+                 for i in range(3)]
+        assert sorted(sum(parts, [])) == items
+        assert all(len(p) >= 3 for p in parts)
+
+    def test_shard_path_and_merge(self, tmp_path):
+        from open_pcc_metric_tpu.parallel import multihost
+
+        base = str(tmp_path / "out.jsonl")
+        for i in range(2):
+            with open(multihost.shard_path(base, i), "w") as f:
+                f.write(f'{{"tag": "h{i}"}}\n')
+        merged = multihost.merge_journals(base, count=2)
+        lines = open(merged).read().splitlines()
+        assert len(lines) == 2
