@@ -335,6 +335,13 @@ def finalize_stats(
             out["color_hausdorff_sym"] = max(
                 [s["c_max_l"], s["c_max_r"]], key=np.linalg.norm
             )
+            chp_l = 10 * np.log10(cpeak**2 / s["c_max_l"])
+            chp_r = 10 * np.log10(cpeak**2 / s["c_max_r"])
+            out["color_hausdorff_psnr_left"] = chp_l
+            out["color_hausdorff_psnr_right"] = chp_r
+            out["color_hausdorff_psnr_sym"] = min(
+                [chp_l, chp_r], key=np.linalg.norm
+            )
     return out
 
 

@@ -24,14 +24,29 @@ DEFAULT_KNN = 30
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def normals_from_neighbors(
-    points: jnp.ndarray, neighbor_idx: jnp.ndarray, k: int
+    points: jnp.ndarray,
+    neighbor_idx: jnp.ndarray,
+    k: int,
+    n_valid: typing.Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Covariance PCA normal from given neighbour index lists (P, k)."""
+    """Covariance PCA normal from given neighbour index lists (P, k).
+
+    Neighbour slots pointing at padded rows (idx >= n_valid — possible when
+    the cloud has fewer than k points, where FLANN would just return fewer
+    neighbours) are excluded from the covariance.
+    """
     neigh = jnp.take(points, neighbor_idx, axis=0)  # (P, k, 3)
-    mean = jnp.mean(neigh, axis=1, keepdims=True)
-    centered = neigh - mean
-    # Population covariance (divide by k), matching Open3D's cumulant form.
-    cov = jnp.einsum("pki,pkj->pij", centered, centered) / k
+    if n_valid is not None:
+        w = (neighbor_idx < n_valid)[:, :, None].astype(points.dtype)
+        cnt = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)
+        mean = jnp.sum(neigh * w, axis=1, keepdims=True) / cnt
+        centered = (neigh - mean) * w
+        cov = jnp.einsum("pki,pkj->pij", centered, centered) / cnt[..., 0][..., None]
+    else:
+        mean = jnp.mean(neigh, axis=1, keepdims=True)
+        centered = neigh - mean
+        # Population covariance (divide by k), matching Open3D's cumulants.
+        cov = jnp.einsum("pki,pkj->pij", centered, centered) / k
     return smallest_eigenvector_sym3(cov)
 
 
@@ -64,4 +79,5 @@ def estimate_normals(
             neighbor_idx, _ = knn_pruned(points, points, n, n, k=k)
         else:
             neighbor_idx, _ = knn(points, points, k=k, exclude_self=False)
-    return normals_from_neighbors(points, neighbor_idx, k)
+    nv = jnp.asarray(n_valid) if n_valid is not None else None
+    return normals_from_neighbors(points, neighbor_idx, k, n_valid=nv)

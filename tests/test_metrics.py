@@ -185,3 +185,34 @@ def test_permutation_invariance():
     _check(
         d1[("GeoMSE", True, False)], d2[("GeoMSE", True, False)], "perm", 1e-12
     )
+
+
+@pytest.mark.parametrize("kw", [
+    dict(),
+    dict(color="ycc", hausdorff=True),
+    dict(point_to_plane=True, hausdorff=True),
+    dict(color="rgb", color_hausdorff=True),
+])
+def test_fused_engine_equals_dag_engine(kw):
+    """The fused engine must reproduce the reference-shaped DAG engine
+    value-for-value across the whole option grid."""
+    rng = np.random.default_rng(13)
+    v = rng.normal(size=(1500, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pts0 = v * 70.0
+    pts1 = pts0 + rng.normal(scale=0.2, size=pts0.shape)
+    c0 = rng.uniform(0, 1, pts0.shape)
+    c1 = rng.uniform(0, 1, pts1.shape)
+    nrm1 = pts1 / np.linalg.norm(pts1, axis=1, keepdims=True)
+    a = Cloud.from_numpy(pts0, colors=c0, normals=v, dtype=jnp.float64)
+    b = Cloud.from_numpy(pts1, colors=c1, normals=nrm1, dtype=jnp.float64)
+    opts = CalculateOptions(**kw)
+    r_dag = evaluate_pair(a, b, opts, engine="dag").as_dict()
+    r_fused = evaluate_pair(a, b, opts, engine="fused").as_dict()
+    assert set(r_dag) == set(r_fused)
+    for key in r_dag:
+        np.testing.assert_allclose(
+            np.asarray(r_fused[key], dtype=np.float64),
+            np.asarray(r_dag[key], dtype=np.float64),
+            rtol=1e-9, err_msg=str(key),
+        )
