@@ -62,6 +62,19 @@ import click
     help="Device compute dtype (float64 only on CPU backend).",
 )
 @click.option(
+    "--trace-dir",
+    required=False,
+    type=str,
+    default=None,
+    help="Write a jax.profiler trace of the evaluation to this directory.",
+)
+@click.option(
+    "--timings",
+    required=False,
+    is_flag=True,
+    help="Print wall time and Mpoints/sec to stderr.",
+)
+@click.option(
     "--backend",
     required=False,
     type=click.Choice(["auto", "pruned", "pallas", "jnp"]),
@@ -83,9 +96,15 @@ def cli(
     d2_mode: str,
     dtype: str,
     backend: str,
+    trace_dir: str,
+    timings: bool,
 ) -> None:
-    from .evaluate import evaluate_files
+    import sys
+    import time
+
+    from .evaluate import evaluate_files, load_cloud, evaluate_pair
     from .options import CalculateOptions
+    from .utils.profiling import mpoints_per_sec, trace
 
     options = CalculateOptions(
         color=color,
@@ -94,10 +113,19 @@ def cli(
         color_hausdorff=color_hausdorff,
         d2_mode=d2_mode,
     )
-    result = evaluate_files(
-        ocloud, pcloud, options, dtype=dtype, backend=backend
-    ).as_df()
+    a = load_cloud(ocloud, dtype=dtype)
+    b = load_cloud(pcloud, dtype=dtype)
+    t0 = time.perf_counter()
+    with trace(trace_dir):
+        result = evaluate_pair(a, b, options, backend=backend).as_df()
+    wall = time.perf_counter() - t0
 
+    if timings:
+        print(
+            f"evaluated {a.n}+{b.n} points in {wall:.3f}s "
+            f"({mpoints_per_sec(a.n + b.n, wall):.3f} Mpoints/s)",
+            file=sys.stderr,
+        )
     if csv:
         print(result.to_csv())
     else:

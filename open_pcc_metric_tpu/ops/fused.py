@@ -345,6 +345,49 @@ def finalize_stats(
     return out
 
 
+def boundary_stats(cloud, backend: str = "auto"):
+    """Cached (min, max) intra-cloud NN distances of one cloud.
+
+    They depend only on the cloud itself (reference: boundary distances come
+    from the origin cloud alone, cloud_pair.py:108-109), so a QP sweep
+    sharing one reference cloud computes the priciest NN pass exactly once.
+    """
+    cached = getattr(cloud, "_boundary_stats", None)
+    if cached is not None:
+        return cached
+    if backend == "auto":
+        if cloud.padded_size >= nn_ops.PRUNE_THRESHOLD:
+            backend = "pruned"
+        else:
+            backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    mask = cloud.valid_mask()
+    if backend == "pruned":
+        from .nn_pruned import nn_pruned_sorted
+
+        g = cloud.get_grid()
+        cap, fallback = 32, 256
+        while True:
+            d, _, overflow = nn_pruned_sorted(
+                g, g, jnp.asarray(cloud.n), exclude_self=True,
+                cap=cap, fallback_tiles=fallback,
+            )
+            if fallback >= cloud.padded_size // 256 or not bool(overflow):
+                break
+            cap, fallback = cap * 4, fallback * 4
+    else:
+        _, d = nn_ops.nearest_neighbors(
+            cloud.points, cloud.points, exclude_self=True, backend=backend,
+            n_a=cloud.n, n_b=cloud.n,
+        )
+    sqrt_d = jnp.sqrt(jnp.maximum(d, 0.0))
+    stats = (
+        jnp.min(jnp.where(mask, sqrt_d, jnp.inf)),
+        jnp.max(jnp.where(mask, sqrt_d, -jnp.inf)),
+    )
+    cloud._boundary_stats = stats
+    return stats
+
+
 def fused_evaluate(
     a, b, color_scheme=None, point_to_plane=False, d2_mode="reference",
     backend: str = "auto",
@@ -370,6 +413,7 @@ def fused_evaluate(
     if backend == "pruned":
         ga = a.get_grid()
         gb = b.get_grid()
+    self_min, self_max = boundary_stats(a, backend=backend)
     cap, fallback = 32, 256
     while True:
         stats = pair_stats(
@@ -386,6 +430,7 @@ def fused_evaluate(
             color_scheme=color_scheme,
             point_to_plane=point_to_plane,
             d2_mode=d2_mode,
+            with_boundary=False,  # cached per Cloud (boundary_stats)
             backend=backend,
             prune_cap=cap,
             prune_fallback=fallback,
@@ -398,6 +443,9 @@ def fused_evaluate(
         ):
             break
         cap, fallback = cap * 4, fallback * 4
+    stats = dict(stats)
+    stats["self_min"] = self_min
+    stats["self_max"] = self_max
     peak = float(np.max(a.get_obb_extent()))
     return finalize_stats(
         stats, peak, color_scheme=color_scheme, point_to_plane=point_to_plane
