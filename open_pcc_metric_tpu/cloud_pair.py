@@ -109,9 +109,16 @@ class CloudPair:
             if c.has_normals():
                 self._normals_cache[index] = c.normals
             else:
-                self._normals_cache[index] = normal_ops.estimate_normals(
-                    c.points, k=self._knn_normals, n_valid=c.n
-                )
+                # Cloud-level cache: estimated normals depend only on the
+                # cloud and are reused across pairs (QP sweeps).
+                est = getattr(c, "_est_normals", None)
+                if est is None or self._knn_normals != normal_ops.DEFAULT_KNN:
+                    est = normal_ops.estimate_normals(
+                        c.points, k=self._knn_normals, n_valid=c.n
+                    )
+                    if self._knn_normals == normal_ops.DEFAULT_KNN:
+                        c._est_normals = est
+                self._normals_cache[index] = est
         return self._normals_cache[index]
 
     # ----------------------------------------------------- reference surface

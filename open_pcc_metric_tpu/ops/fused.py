@@ -405,10 +405,17 @@ def fused_evaluate(
         )
     a_nrm, b_nrm = a.normals, b.normals
     if point_to_plane:
+        # Estimated normals depend only on the cloud: cache like grids/OBB.
         if a_nrm is None:
-            a_nrm = normal_ops.estimate_normals(a.points, n_valid=a.n)
+            a_nrm = getattr(a, "_est_normals", None)
+            if a_nrm is None:
+                a_nrm = normal_ops.estimate_normals(a.points, n_valid=a.n)
+                a._est_normals = a_nrm
         if b_nrm is None:
-            b_nrm = normal_ops.estimate_normals(b.points, n_valid=b.n)
+            b_nrm = getattr(b, "_est_normals", None)
+            if b_nrm is None:
+                b_nrm = normal_ops.estimate_normals(b.points, n_valid=b.n)
+                b._est_normals = b_nrm
     ga = gb = None
     if backend == "pruned":
         ga = a.get_grid()
