@@ -49,8 +49,14 @@ def _diff_form_dist(qt, bt):
     return d
 
 
-def _nn_kernel(cand_ref, off_ref, qt_ref, bt_ref, borig_ref,
-               bestd_ref, besti_ref, *, exclude_self):
+# Candidate chunks DMAed per grid step (amortises per-step overhead).
+_CAND_PER_STEP = 8
+
+
+def _nn_kernel(cand_ref, off_ref, qt_ref, *rest, exclude_self, g):
+    bt_refs = rest[:g]
+    borig_refs = rest[g : 2 * g]
+    bestd_ref, besti_ref = rest[2 * g], rest[2 * g + 1]
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -59,27 +65,29 @@ def _nn_kernel(cand_ref, off_ref, qt_ref, bt_ref, borig_ref,
         bestd_ref[:] = jnp.full_like(bestd_ref, jnp.inf)
         besti_ref[:] = jnp.full_like(besti_ref, INT_MAX)
 
-    d = _diff_form_dist(qt_ref[:], bt_ref[:])  # (CHUNK, CHUNK)
-    if exclude_self:
-        cj = cand_ref[i, j]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0) \
-            + (off_ref[0] + i) * CHUNK
-        cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1) \
-            + cj * CHUNK
-        d = jnp.where(rows == cols, jnp.inf, d)
+    q = qt_ref[:]
+    for s in range(g):
+        d = _diff_form_dist(q, bt_refs[s][:])  # (CHUNK, CHUNK)
+        if exclude_self:
+            cj = cand_ref[i, j * g + s]
+            rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0) \
+                + (off_ref[0] + i) * CHUNK
+            cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1) \
+                + cj * CHUNK
+            d = jnp.where(rows == cols, jnp.inf, d)
 
-    dmin = jnp.min(d, axis=1, keepdims=True)  # (CHUNK, 1)
-    at_min = d == dmin
-    bor = borig_ref[:]  # (1, CHUNK)
-    ii = jnp.min(
-        jnp.where(at_min, jnp.broadcast_to(bor, d.shape), INT_MAX),
-        axis=1, keepdims=True,
-    )
-    better = (dmin < bestd_ref[:]) | (
-        (dmin == bestd_ref[:]) & (ii < besti_ref[:])
-    )
-    bestd_ref[:] = jnp.where(better, dmin, bestd_ref[:])
-    besti_ref[:] = jnp.where(better, ii, besti_ref[:])
+        dmin = jnp.min(d, axis=1, keepdims=True)  # (CHUNK, 1)
+        at_min = d == dmin
+        bor = borig_refs[s][:]  # (1, CHUNK)
+        ii = jnp.min(
+            jnp.where(at_min, jnp.broadcast_to(bor, d.shape), INT_MAX),
+            axis=1, keepdims=True,
+        )
+        better = (dmin < bestd_ref[:]) | (
+            (dmin == bestd_ref[:]) & (ii < besti_ref[:])
+        )
+        bestd_ref[:] = jnp.where(better, dmin, bestd_ref[:])
+        besti_ref[:] = jnp.where(better, ii, besti_ref[:])
 
 
 # Tiles per pallas_call: bounds the scalar-prefetch table (group*cap int32)
@@ -87,18 +95,33 @@ def _nn_kernel(cand_ref, off_ref, qt_ref, bt_ref, borig_ref,
 TILE_GROUP = 512
 
 
-def _nn_group(qt8_g, tbase, bt8, borig, cand_g, exclude_self, interpret):
+def _nn_group(qt8_g, tbase, b8c, borig, cand_g, exclude_self, interpret):
     gt, cap = cand_g.shape
+    g = _CAND_PER_STEP
+    while cap % g:
+        g //= 2
 
-    kernel = functools.partial(_nn_kernel, exclude_self=exclude_self)
+    def b_spec(s):
+        # b8c is chunk-major (ncb*8, CHUNK): one candidate chunk = one
+        # contiguous (8, CHUNK) block = a single 8 KB DMA.
+        return pl.BlockSpec(
+            (8, CHUNK), lambda i, j, cand, off, s=s: (cand[i, j * g + s], 0)
+        )
+
+    def bor_spec(s):
+        return pl.BlockSpec(
+            (1, CHUNK), lambda i, j, cand, off, s=s: (0, cand[i, j * g + s])
+        )
+
+    kernel = functools.partial(_nn_kernel, exclude_self=exclude_self, g=g)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # cand table + group tile offset
-        grid=(gt, cap),
-        in_specs=[
-            pl.BlockSpec((8, CHUNK), lambda i, j, cand, off: (0, i)),
-            pl.BlockSpec((8, CHUNK), lambda i, j, cand, off: (0, cand[i, j])),
-            pl.BlockSpec((1, CHUNK), lambda i, j, cand, off: (0, cand[i, j])),
-        ],
+        grid=(gt, cap // g),
+        in_specs=(
+            [pl.BlockSpec((8, CHUNK), lambda i, j, cand, off: (0, i))]
+            + [b_spec(s) for s in range(g)]
+            + [bor_spec(s) for s in range(g)]
+        ),
         out_specs=[
             pl.BlockSpec((CHUNK, 1), lambda i, j, cand, off: (i, 0)),
             pl.BlockSpec((CHUNK, 1), lambda i, j, cand, off: (i, 0)),
@@ -115,7 +138,7 @@ def _nn_group(qt8_g, tbase, bt8, borig, cand_g, exclude_self, interpret):
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(cand_g, tbase, qt8_g, bt8, borig)
+    )(cand_g, tbase, qt8_g, *([b8c] * g), *([borig] * g))
     return bestd[:, 0], besti[:, 0]
 
 
@@ -133,13 +156,16 @@ def refine_nn_pallas(
     """Returns ``(dmin (Pa,), best_orig_idx (Pa,))`` over each tile's
     candidate chunks (exact f32 distances, lowest-orig-index ties)."""
     nta, cap = cand.shape
+    pb = bt8.shape[1]
+    # chunk-major candidate layout: (ncb*8, CHUNK), contiguous per chunk
+    b8c = bt8.reshape(8, pb // CHUNK, CHUNK).transpose(1, 0, 2).reshape(-1, CHUNK)
     d_parts, i_parts = [], []
     for g0 in range(0, nta, TILE_GROUP):
         gt = min(TILE_GROUP, nta - g0)
         d_g, i_g = _nn_group(
             jax.lax.slice_in_dim(qt8, g0 * CHUNK, (g0 + gt) * CHUNK, axis=1),
             jnp.array([g0], jnp.int32),
-            bt8,
+            b8c,
             borig,
             jax.lax.slice_in_dim(cand, g0, g0 + gt, axis=0),
             exclude_self,
@@ -406,3 +432,59 @@ def refine_nn_pallas_fused(
         d_parts.append(d_g)
         i_parts.append(i_g)
     return jnp.concatenate(d_parts), jnp.concatenate(i_parts)
+
+
+# ---------------------------------------------------------------------------
+# Candidate selection kernel: per query tile, the `cap` smallest-lower-bound
+# chunk indices. Replaces lax.top_k over the (nta, ncb) lb matrix — XLA's
+# top_k lowers to a bitonic sort that costs more than the refinement itself.
+# Selection runs in VMEM with cap rounds of (min, mask); ties pick the lowest
+# chunk index. A tie at the cap boundary may pick a different (equal-lb)
+# chunk than top_k, which is harmless: the exactness certificate counts ALL
+# chunks with lb <= ub, so any tied-out qualifying chunk forces stage 2.
+# ---------------------------------------------------------------------------
+
+_SEL_ROWS = 8  # query tiles per grid step
+
+
+def _select_kernel(lb_ref, cand_ref, *, cap, ncb):
+    lb = lb_ref[:]  # (_SEL_ROWS, ncb_pad)
+    cols = jax.lax.broadcasted_iota(jnp.int32, lb.shape, 1)
+    for r in range(cap):
+        m = jnp.min(lb, axis=1, keepdims=True)
+        amin = jnp.min(jnp.where(lb == m, cols, INT_MAX), axis=1,
+                       keepdims=True)
+        lb = jnp.where(cols == amin, jnp.inf, lb)
+        cand_ref[:, r : r + 1] = jnp.minimum(amin, ncb - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "interpret"))
+def select_candidates_pallas(
+    lb: jnp.ndarray,  # (nta, ncb) squared lower bounds
+    cap: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(nta, cap) int32 indices of each row's cap smallest lower bounds."""
+    nta, ncb = lb.shape
+    pad_rows = (-nta) % _SEL_ROWS
+    pad_cols = (-ncb) % 128
+    if pad_rows or pad_cols:
+        lb = jnp.pad(lb, ((0, pad_rows), (0, pad_cols)),
+                     constant_values=jnp.inf)
+    rows = lb.shape[0]
+
+    kernel = functools.partial(_select_kernel, cap=cap, ncb=ncb)
+    cand = pl.pallas_call(
+        kernel,
+        grid=(rows // _SEL_ROWS,),
+        in_specs=[
+            pl.BlockSpec((_SEL_ROWS, lb.shape[1]), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((_SEL_ROWS, cap), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, cap), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(lb)
+    return cand[:nta]
