@@ -132,3 +132,41 @@ class TestMultihost:
         merged = multihost.merge_journals(base, count=2)
         lines = open(merged).read().splitlines()
         assert len(lines) == 2
+
+
+class TestDatasets:
+    def test_voxel_surface_properties(self):
+        from open_pcc_metric_tpu.datasets import voxel_surface
+
+        pts, colors, normals = voxel_surface(5000, grid=256, seed=1)
+        assert pts.shape[0] <= 5000
+        assert np.array_equal(pts, np.round(pts))  # integer lattice
+        assert np.unique(pts, axis=0).shape[0] == pts.shape[0]
+        assert colors.min() >= 0 and colors.max() <= 1
+        np.testing.assert_allclose(
+            np.linalg.norm(normals, axis=1), 1.0, rtol=1e-9
+        )
+
+    def test_degradation_monotone_d1(self):
+        from open_pcc_metric_tpu.datasets import voxel_surface, degrade_gpcc_like
+        import oracle
+
+        pts, colors, _ = voxel_surface(3000, grid=256, seed=2)
+        psnrs = []
+        for qp in (4, 16, 28):
+            q, _ = degrade_gpcc_like(pts, colors, qp, seed=2)
+            m = oracle.full_metrics(pts, q)
+            psnrs.append(m["geo_psnr_sym"])
+        assert psnrs[0] > psnrs[1] > psnrs[2]
+
+    def test_write_qp_sweep_roundtrip(self, tmp_path):
+        from open_pcc_metric_tpu.datasets import write_qp_sweep
+        from open_pcc_metric_tpu import read_point_cloud
+
+        ref, degraded = write_qp_sweep(str(tmp_path), n_points=1000,
+                                       qps=(10, 22))
+        raw = read_point_cloud(ref)
+        assert raw.normals is not None and raw.colors is not None
+        assert len(degraded) == 2
+        for qp, p in degraded:
+            assert read_point_cloud(p).n > 0
