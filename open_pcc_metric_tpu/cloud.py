@@ -32,15 +32,23 @@ def round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def pad_bucket(n: int) -> int:
+def pad_bucket(n: int, policy: str = "bucket") -> int:
     """Round ``n`` up to a bucketed padded size.
 
-    Buckets are multiples of ``max(_MIN_ALIGN, 2^(floor(log2 n) - 3))`` — i.e.
-    at most ~12.5% padding waste while keeping the number of distinct compiled
-    shapes logarithmic in cloud size.
+    policy="bucket": multiples of ``max(_MIN_ALIGN, 2^(floor(log2 n) - 3))``
+    — at most ~12.5% padding waste with a logarithmic number of compiled
+    shapes. policy="pow2": next power of two — up to 2x waste, but
+    heterogeneous sweeps collapse onto very few compiled programs (set
+    env PCC_PAD_POLICY=pow2 or pass explicitly).
     """
+    import os
+
+    if policy == "auto":
+        policy = os.environ.get("PCC_PAD_POLICY", "bucket")
     if n <= _MIN_ALIGN:
         return _MIN_ALIGN
+    if policy == "pow2":
+        return 1 << int(n - 1).bit_length()
     step = max(_MIN_ALIGN, 1 << (int(n - 1).bit_length() - 4))
     return round_up(n, step)
 
@@ -88,7 +96,7 @@ class Cloud:
         n = points.shape[0]
         if n == 0:
             raise ValueError("empty point cloud")
-        p = pad_to if pad_to is not None else pad_bucket(n)
+        p = pad_to if pad_to is not None else pad_bucket(n, policy="auto")
         if p < n:
             raise ValueError(f"pad_to={p} < n={n}")
 

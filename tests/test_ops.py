@@ -215,3 +215,8 @@ def test_pad_bucket():
     n = 800_000
     p = pad_bucket(n)
     assert p >= n and p % 256 == 0 and (p - n) / n < 0.13
+
+
+def test_pad_bucket_pow2_policy():
+    assert pad_bucket(300_000, policy="pow2") == 1 << 19
+    assert pad_bucket(100, policy="pow2") == 256
