@@ -51,6 +51,7 @@ def _masked_min(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 def _pair_stats_pruned(
     a_pts, b_pts, n_a, n_b, a_col, b_col, a_nrm, b_nrm, ga, gb,
+    a_col_sorted=None, b_col_sorted=None,
     *, color_scheme, point_to_plane, d2_mode, with_boundary,
     prune_cap, prune_fallback,
 ):
@@ -83,6 +84,31 @@ def _pair_stats_pruned(
     )
     overflows = [ov0, ov1]
 
+    # ONE payload gather per direction: TPU row-gathers pay per row, not per
+    # byte, so the neighbour's points/colours/normals are fetched as a single
+    # concatenated matrix instead of 2-3 separate gathers.
+    def gather_payload(pts, col, nrm, idx):
+        parts = [pts]
+        if color_scheme is not None:
+            parts.append(col)
+        if point_to_plane and d2_mode != "reference":
+            parts.append(nrm)
+        pay = jnp.take(
+            jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0],
+            idx, axis=0, mode="clip",
+        )
+        out = {"pts": pay[:, :3]}
+        c = 3
+        if color_scheme is not None:
+            out["col"] = pay[:, c : c + 3]
+            c += 3
+        if point_to_plane and d2_mode != "reference":
+            out["nrm"] = pay[:, c : c + 3]
+        return out
+
+    pay0 = gather_payload(b_pts, b_col, b_nrm, i0)
+    pay1 = gather_payload(a_pts, a_col, a_nrm, i1)
+
     out: typing.Dict[str, jnp.ndarray] = {
         "n_a": n_a,
         "n_b": n_b,
@@ -107,15 +133,15 @@ def _pair_stats_pruned(
             raise ValueError(
                 "pair_stats requires precomputed normals for point_to_plane"
             )
-        err0 = ga.points - jnp.take(b_pts, i0, axis=0, mode="clip")
-        err1 = gb.points - jnp.take(a_pts, i1, axis=0, mode="clip")
+        err0 = ga.points - pay0["pts"]
+        err1 = gb.points - pay1["pts"]
         if d2_mode == "reference":
             # Positional pairing by ORIGINAL query index (SURVEY Q3).
             n_for_0 = jnp.take(b_nrm, ga.perm, axis=0, mode="clip")
             n_for_1 = jnp.take(a_nrm, gb.perm, axis=0, mode="clip")
         else:
-            n_for_0 = jnp.take(b_nrm, i0, axis=0, mode="clip")
-            n_for_1 = jnp.take(a_nrm, i1, axis=0, mode="clip")
+            n_for_0 = pay0["nrm"]
+            n_for_1 = pay1["nrm"]
         p0 = jnp.sum(err0 * n_for_0, axis=1) ** 2
         p1 = jnp.sum(err1 * n_for_1, axis=1) ** 2
         out["d2_sse_l"] = _masked_sum(p0, mask_a)
@@ -124,16 +150,16 @@ def _pair_stats_pruned(
         out["d2_max_r"] = _masked_max(p1, mask_b)
 
     if color_scheme is not None:
-        a_col_s = jnp.take(a_col, ga.perm, axis=0)
-        b_col_s = jnp.take(b_col, gb.perm, axis=0)
+        a_col_s = a_col_sorted if a_col_sorted is not None else jnp.take(
+            a_col, ga.perm, axis=0
+        )
+        b_col_s = b_col_sorted if b_col_sorted is not None else jnp.take(
+            b_col, gb.perm, axis=0
+        )
         t0 = transform_colors(a_col_s, "rgb", color_scheme)
-        tn0 = transform_colors(
-            jnp.take(b_col, i0, axis=0, mode="clip"), "rgb", color_scheme
-        )
+        tn0 = transform_colors(pay0["col"], "rgb", color_scheme)
         t1 = transform_colors(b_col_s, "rgb", color_scheme)
-        tn1 = transform_colors(
-            jnp.take(a_col, i1, axis=0, mode="clip"), "rgb", color_scheme
-        )
+        tn1 = transform_colors(pay1["col"], "rgb", color_scheme)
         diff0 = t0 - tn0
         diff1 = t1 - tn1
         out["c_sse_l"] = _masked_sum(diff0**2, mask_a)
@@ -172,6 +198,8 @@ def pair_stats(
     b_nrm: typing.Optional[jnp.ndarray] = None,
     ga=None,
     gb=None,
+    a_col_sorted: typing.Optional[jnp.ndarray] = None,
+    b_col_sorted: typing.Optional[jnp.ndarray] = None,
     color_scheme: typing.Optional[str] = None,
     point_to_plane: bool = False,
     d2_mode: str = "reference",
@@ -195,6 +223,7 @@ def pair_stats(
         # 850k-row unsort gathers (one of the dominant costs otherwise).
         return _pair_stats_pruned(
             a_pts, b_pts, n_a, n_b, a_col, b_col, a_nrm, b_nrm, ga, gb,
+            a_col_sorted, b_col_sorted,
             color_scheme=color_scheme, point_to_plane=point_to_plane,
             d2_mode=d2_mode, with_boundary=with_boundary,
             prune_cap=prune_cap, prune_fallback=prune_fallback,
@@ -345,6 +374,17 @@ def finalize_stats(
     return out
 
 
+def _sorted_colors(cloud):
+    """Per-Cloud cached Morton-sorted colours (one gather per cloud ever)."""
+    if cloud.colors is None:
+        return None
+    cs = getattr(cloud, "_sorted_colors", None)
+    if cs is None:
+        cs = jnp.take(cloud.colors, cloud.get_grid().perm, axis=0)
+        cloud._sorted_colors = cs
+    return cs
+
+
 def boundary_stats(cloud, backend: str = "auto"):
     """Cached (min, max) intra-cloud NN distances of one cloud.
 
@@ -417,9 +457,13 @@ def fused_evaluate(
                 b_nrm = normal_ops.estimate_normals(b.points, n_valid=b.n)
                 b._est_normals = b_nrm
     ga = gb = None
+    a_col_sorted = b_col_sorted = None
     if backend == "pruned":
         ga = a.get_grid()
         gb = b.get_grid()
+        if color_scheme is not None:
+            a_col_sorted = _sorted_colors(a)
+            b_col_sorted = _sorted_colors(b)
     self_min, self_max = boundary_stats(a, backend=backend)
     cap, fallback = 32, 256
     while True:
@@ -434,6 +478,8 @@ def fused_evaluate(
             b_nrm=b_nrm,
             ga=ga,
             gb=gb,
+            a_col_sorted=a_col_sorted,
+            b_col_sorted=b_col_sorted,
             color_scheme=color_scheme,
             point_to_plane=point_to_plane,
             d2_mode=d2_mode,
