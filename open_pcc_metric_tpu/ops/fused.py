@@ -489,6 +489,7 @@ def fused_evaluate(
             prune_fallback=fallback,
         )
         max_tiles = max(a.padded_size, b.padded_size) // 256
+        stats = jax.device_get(stats)  # one round-trip: results + overflow
         if (
             "nn_overflow" not in stats
             or not bool(stats["nn_overflow"])
@@ -497,8 +498,9 @@ def fused_evaluate(
             break
         cap, fallback = cap * 4, fallback * 4
     stats = dict(stats)
-    stats["self_min"] = self_min
-    stats["self_max"] = self_max
+    stats["self_min"], stats["self_max"] = jax.device_get(
+        (self_min, self_max)
+    )
     peak = float(np.max(a.get_obb_extent()))
     return finalize_stats(
         stats, peak, color_scheme=color_scheme, point_to_plane=point_to_plane

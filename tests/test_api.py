@@ -185,3 +185,21 @@ class TestCLI:
         # 26 geo/p2p/hausdorff rows + 6 colour rows + header
         lines = [l for l in result.output.strip().splitlines() if l.strip()]
         assert len(lines) == 33
+
+
+def test_ply_big_endian(tmp_path):
+    # Hand-built big-endian binary PLY (the loader advertises BE support).
+    pts = np.array([[1.5, -2.0, 3.25], [4.0, 5.5, -6.0]])
+    rec = np.zeros(2, dtype=np.dtype([(c, ">f8") for c in "xyz"]))
+    rec["x"], rec["y"], rec["z"] = pts.T
+    header = (
+        "ply\nformat binary_big_endian 1.0\nelement vertex 2\n"
+        "property double x\nproperty double y\nproperty double z\n"
+        "end_header\n"
+    )
+    p = tmp_path / "be.ply"
+    with open(p, "wb") as f:
+        f.write(header.encode())
+        f.write(rec.tobytes())
+    raw = read_point_cloud(p)
+    np.testing.assert_array_equal(raw.points, pts)
