@@ -122,11 +122,11 @@ def knn_pruned_sorted(
 
     impl = _resolve_refine_impl(refine_impl, dtype)
     if impl in ("pallas", "pallas_interpret"):
-        from .refine_pallas import refine_knn_pallas
+        from .refine_pallas import refine_knn_pallas_t
 
         qt8 = jnp.pad(ga.points, ((0, 0), (0, 5))).T
         bt8 = qt8 if gb is ga else jnp.pad(gb.points, ((0, 0), (0, 5))).T
-        dk, ik = refine_knn_pallas(
+        dk, ik = refine_knn_pallas_t(
             qt8, bt8, gb.perm[None, :], cand, k,
             exclude_self=exclude_self,
             interpret=(impl == "pallas_interpret"),

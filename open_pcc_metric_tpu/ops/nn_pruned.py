@@ -60,10 +60,11 @@ def _pick_batch(n: int, preferred: int = 32) -> int:
 def _resolve_refine_impl(impl: str, dtype) -> str:
     if impl != "auto":
         return impl
-    # The Pallas refine kernel is exact and available, but the XLA refine
-    # (32 tiles fused per step) currently beats it for 1-NN (0.13s vs 0.25s
-    # at 800k: 106k one-chunk grid steps pay too much per-step overhead).
-    # It remains the default OFF until the in-kernel candidate loop lands.
+    # The transposed-layout kernel (queries across lanes, so the running-best
+    # updates are full-lane-width) beats the XLA refine; the straight-layout
+    # kernel did not (single-lane (256,1) select chains).
+    if jax.default_backend() == "tpu" and dtype == jnp.float32:
+        return "pallas"
     return "xla"
 
 
@@ -109,7 +110,7 @@ def nn_pruned_sorted(
 
     impl = _resolve_refine_impl(refine_impl, dtype)
     if impl in ("pallas", "pallas_interpret"):
-        from .refine_pallas import refine_nn_pallas
+        from .refine_pallas import refine_nn_pallas_t
 
         qt8 = jnp.pad(ga.points, ((0, 0), (0, 5))).T
         bt8 = qt8 if gb is ga else jnp.pad(gb.points, ((0, 0), (0, 5))).T
@@ -117,7 +118,7 @@ def nn_pruned_sorted(
 
         def refine(q_tiles, cand, tbases, ncand, batch):
             # Stage-1 only: the full contiguous tile range starting at 0.
-            d, ii = refine_nn_pallas(
+            d, ii = refine_nn_pallas_t(
                 qt8,
                 bt8,
                 borig_row,

@@ -488,3 +488,320 @@ def select_candidates_pallas(
         interpret=interpret,
     )(lb)
     return cand[:nta]
+
+
+# ---------------------------------------------------------------------------
+# Transposed-layout variant: candidates run DOWN SUBLANES and queries ACROSS
+# LANES, so the running-best updates are (1, 256) full-lane-width vectors
+# instead of (256, 1) single-lane columns (which execute at ~1/128 lane
+# efficiency and dominate the straight-layout kernel). Eight tiles per grid
+# step share one query block; each tile gets its own candidate-chunk block.
+# ---------------------------------------------------------------------------
+
+_TILES_PER_STEP = 8
+
+
+def _nn_kernel_t(cand_ref, off_ref, qt_ref, *rest, exclude_self):
+    tt = _TILES_PER_STEP
+    b_refs = rest[:tt]
+    borig_refs = rest[tt : 2 * tt]
+    bestd_ref, besti_ref = rest[2 * tt], rest[2 * tt + 1]
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        bestd_ref[:] = jnp.full_like(bestd_ref, jnp.inf)
+        besti_ref[:] = jnp.full_like(besti_ref, INT_MAX)
+
+    q = qt_ref[:]  # (8, tt*CHUNK)
+    for t in range(tt):
+        b = b_refs[t][:]  # (CHUNK, 8) candidates of tile t
+        d = None
+        for k in range(3):
+            bk = b[:, k].reshape(CHUNK, 1)  # candidates down sublanes
+            qk = q[k, t * CHUNK : (t + 1) * CHUNK].reshape(1, CHUNK)
+            diff = bk - qk
+            d = diff * diff if d is None else d + diff * diff
+        # d: (cand, query)
+        if exclude_self:
+            cj = cand_ref[i * tt + t, j]
+            crow = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0) \
+                + cj * CHUNK
+            qcol = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1) \
+                + (off_ref[0] + i * tt + t) * CHUNK
+            d = jnp.where(crow == qcol, jnp.inf, d)
+        dmin = jnp.min(d, axis=0, keepdims=True)  # (1, CHUNK) lane-major
+        at_min = d == dmin
+        bor = borig_refs[t][:]  # (CHUNK, 1)
+        ii = jnp.min(
+            jnp.where(at_min, jnp.broadcast_to(bor, d.shape), INT_MAX),
+            axis=0, keepdims=True,
+        )
+        prev_d = bestd_ref[t : t + 1, :]
+        prev_i = besti_ref[t : t + 1, :]
+        better = (dmin < prev_d) | ((dmin == prev_d) & (ii < prev_i))
+        bestd_ref[t : t + 1, :] = jnp.where(better, dmin, prev_d)
+        besti_ref[t : t + 1, :] = jnp.where(better, ii, prev_i)
+
+
+def _nn_group_t(qt8_g, tbase, b8r, borig_col, cand_g, exclude_self,
+                interpret):
+    gt, cap = cand_g.shape
+    tt = _TILES_PER_STEP
+
+    def b_spec(t):
+        return pl.BlockSpec(
+            (CHUNK, 8), lambda i, j, cand, off, t=t: (cand[i * tt + t, j], 0)
+        )
+
+    def bor_spec(t):
+        return pl.BlockSpec(
+            (CHUNK, 1), lambda i, j, cand, off, t=t: (cand[i * tt + t, j], 0)
+        )
+
+    kernel = functools.partial(_nn_kernel_t, exclude_self=exclude_self)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(gt // tt, cap),
+        in_specs=(
+            [pl.BlockSpec((8, tt * CHUNK), lambda i, j, cand, off: (0, i))]
+            + [b_spec(t) for t in range(tt)]
+            + [bor_spec(t) for t in range(tt)]
+        ),
+        out_specs=[
+            pl.BlockSpec((tt, CHUNK), lambda i, j, cand, off: (i, 0)),
+            pl.BlockSpec((tt, CHUNK), lambda i, j, cand, off: (i, 0)),
+        ],
+    )
+    bestd, besti = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((gt, CHUNK), jnp.float32),
+            jax.ShapeDtypeStruct((gt, CHUNK), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(cand_g, tbase, qt8_g, *([b8r] * tt), *([borig_col] * tt))
+    return bestd.reshape(gt * CHUNK), besti.reshape(gt * CHUNK)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("exclude_self", "interpret")
+)
+def refine_nn_pallas_t(
+    qt8: jnp.ndarray,  # (8, Pa)
+    bt8: jnp.ndarray,  # (8, Pb)
+    borig: jnp.ndarray,  # (1, Pb)
+    cand: jnp.ndarray,  # (nta, cap)
+    exclude_self: bool = False,
+    interpret: bool = False,
+):
+    """Transposed-layout refine; same results as refine_nn_pallas."""
+    nta, cap = cand.shape
+    b8r = bt8.T  # (Pb, 8): candidate rows, contiguous (CHUNK, 8) blocks
+    borig_col = borig.reshape(-1, 1)  # (Pb, 1)
+    tt = _TILES_PER_STEP
+    group = (TILE_GROUP // tt) * tt
+    d_parts, i_parts = [], []
+    for g0 in range(0, nta, group):
+        gt = min(group, nta - g0)
+        if gt % tt:
+            # pad the tail group by reusing the last tiles' candidates; the
+            # extra rows are discarded after the call
+            pad = tt - gt % tt
+            cand_g = jnp.concatenate(
+                [cand[g0 : g0 + gt],
+                 jnp.broadcast_to(cand[g0 + gt - 1 : g0 + gt], (pad, cap))],
+                axis=0,
+            )
+            q_g = jax.lax.dynamic_slice_in_dim(
+                qt8, (g0 + gt - (gt + pad)) * CHUNK if False else g0 * CHUNK,
+                (gt + pad) * CHUNK, axis=1,
+            ) if (g0 + gt + pad) * CHUNK <= qt8.shape[1] else None
+            if q_g is None:
+                # tail runs through the straight-layout path instead
+                d_g, i_g = _nn_group(
+                    jax.lax.slice_in_dim(
+                        qt8, g0 * CHUNK, (g0 + gt) * CHUNK, axis=1
+                    ),
+                    jnp.array([g0], jnp.int32),
+                    bt8.reshape(8, -1, CHUNK).transpose(1, 0, 2).reshape(
+                        -1, CHUNK
+                    ),
+                    borig,
+                    cand[g0 : g0 + gt],
+                    exclude_self,
+                    interpret,
+                )
+                d_parts.append(d_g)
+                i_parts.append(i_g)
+                continue
+            d_g, i_g = _nn_group_t(
+                q_g, jnp.array([g0], jnp.int32), b8r, borig_col, cand_g,
+                exclude_self, interpret,
+            )
+            d_parts.append(d_g[: gt * CHUNK])
+            i_parts.append(i_g[: gt * CHUNK])
+        else:
+            d_g, i_g = _nn_group_t(
+                jax.lax.slice_in_dim(
+                    qt8, g0 * CHUNK, (g0 + gt) * CHUNK, axis=1
+                ),
+                jnp.array([g0], jnp.int32), b8r, borig_col,
+                cand[g0 : g0 + gt], exclude_self, interpret,
+            )
+            d_parts.append(d_g)
+            i_parts.append(i_g)
+    return jnp.concatenate(d_parts), jnp.concatenate(i_parts)
+
+
+def _knn_kernel_t(cand_ref, off_ref, qt_ref, *rest, k, exclude_self):
+    tt = _TILES_PER_STEP
+    b_refs = rest[:tt]
+    borig_refs = rest[tt : 2 * tt]
+    dk_ref, ik_ref = rest[2 * tt], rest[2 * tt + 1]
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        dk_ref[:] = jnp.full_like(dk_ref, jnp.inf)
+        ik_ref[:] = jnp.full_like(ik_ref, INT_MAX)
+
+    q = qt_ref[:]  # (8, tt*CHUNK)
+    for t in range(tt):
+        b = b_refs[t][:]  # (CHUNK, 8)
+        d = None
+        for kk in range(3):
+            bk = b[:, kk].reshape(CHUNK, 1)
+            qk = q[kk, t * CHUNK : (t + 1) * CHUNK].reshape(1, CHUNK)
+            diff = bk - qk
+            d = diff * diff if d is None else d + diff * diff
+        # d: (cand, query)
+        if exclude_self:
+            cj = cand_ref[i * tt + t, j]
+            crow = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0) \
+                + cj * CHUNK
+            qcol = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1) \
+                + (off_ref[0] + i * tt + t) * CHUNK
+            d = jnp.where(crow == qcol, jnp.inf, d)
+
+        run_d = dk_ref[t * k : (t + 1) * k, :]  # (k, CHUNK)
+        run_i = ik_ref[t * k : (t + 1) * k, :]
+        improves = jnp.any(jnp.min(d, axis=0) < run_d[k - 1, :])
+
+        @pl.when(improves)
+        def _merge(t=t, d=d, run_d=run_d, run_i=run_i):
+            bor = jnp.broadcast_to(borig_refs[t][:], d.shape)
+            cand_d = jnp.concatenate([run_d, d], axis=0)  # (k+CHUNK, CHUNK)
+            cand_i = jnp.concatenate([run_i, bor], axis=0)
+            dcur = cand_d
+            for r in range(k):
+                m = jnp.min(dcur, axis=0, keepdims=True)  # (1, CHUNK)
+                at_min = dcur == m
+                ii = jnp.min(jnp.where(at_min, cand_i, INT_MAX), axis=0,
+                             keepdims=True)
+                dcur = jnp.where(at_min & (cand_i == ii), jnp.inf, dcur)
+                dk_ref[t * k + r : t * k + r + 1, :] = m
+                ik_ref[t * k + r : t * k + r + 1, :] = ii
+
+
+def _knn_group_t(qt8_g, tbase, b8r, borig_col, cand_g, k, exclude_self,
+                 interpret):
+    gt, cap = cand_g.shape
+    tt = _TILES_PER_STEP
+
+    def b_spec(t):
+        return pl.BlockSpec(
+            (CHUNK, 8), lambda i, j, cand, off, t=t: (cand[i * tt + t, j], 0)
+        )
+
+    def bor_spec(t):
+        return pl.BlockSpec(
+            (CHUNK, 1), lambda i, j, cand, off, t=t: (cand[i * tt + t, j], 0)
+        )
+
+    kernel = functools.partial(_knn_kernel_t, k=k, exclude_self=exclude_self)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(gt // tt, cap),
+        in_specs=(
+            [pl.BlockSpec((8, tt * CHUNK), lambda i, j, cand, off: (0, i))]
+            + [b_spec(t) for t in range(tt)]
+            + [bor_spec(t) for t in range(tt)]
+        ),
+        out_specs=[
+            pl.BlockSpec((tt * k, CHUNK), lambda i, j, cand, off: (i, 0)),
+            pl.BlockSpec((tt * k, CHUNK), lambda i, j, cand, off: (i, 0)),
+        ],
+    )
+    dk, ik = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((gt * k, CHUNK), jnp.float32),
+            jax.ShapeDtypeStruct((gt * k, CHUNK), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(cand_g, tbase, qt8_g, *([b8r] * tt), *([borig_col] * tt))
+    # (gt*k, CHUNK) -> (gt, k, CHUNK) -> rows (gt*CHUNK, k)
+    dk = dk.reshape(gt, k, CHUNK).transpose(0, 2, 1).reshape(gt * CHUNK, k)
+    ik = ik.reshape(gt, k, CHUNK).transpose(0, 2, 1).reshape(gt * CHUNK, k)
+    return dk, ik
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "exclude_self", "interpret")
+)
+def refine_knn_pallas_t(
+    qt8: jnp.ndarray,
+    bt8: jnp.ndarray,
+    borig: jnp.ndarray,
+    cand: jnp.ndarray,
+    k: int,
+    exclude_self: bool = False,
+    interpret: bool = False,
+):
+    """Transposed-layout k-NN refine; ascending (dk, idx) like the others."""
+    nta, cap = cand.shape
+    b8r = bt8.T
+    borig_col = borig.reshape(-1, 1)
+    tt = _TILES_PER_STEP
+    group = (TILE_GROUP // tt) * tt
+    d_parts, i_parts = [], []
+    for g0 in range(0, nta, group):
+        gt = min(group, nta - g0)
+        gt_pad = ((gt + tt - 1) // tt) * tt
+        if (g0 + gt_pad) * CHUNK <= qt8.shape[1] and gt_pad != gt:
+            use = gt_pad
+        elif gt % tt == 0:
+            use = gt
+        else:
+            # tail not representable: fall back to the XLA-equivalent
+            # straight-layout k-NN kernel for these tiles
+            dk, ik = refine_knn_pallas(
+                jax.lax.slice_in_dim(
+                    qt8, g0 * CHUNK, (g0 + gt) * CHUNK, axis=1
+                ),
+                bt8, borig, cand[g0 : g0 + gt], k,
+                exclude_self=exclude_self, interpret=interpret,
+            )
+            d_parts.append(dk)
+            i_parts.append(ik)
+            continue
+        cand_g = cand[g0 : g0 + use]
+        dk, ik = _knn_group_t(
+            jax.lax.slice_in_dim(qt8, g0 * CHUNK, (g0 + use) * CHUNK, axis=1),
+            jnp.array([g0], jnp.int32), b8r, borig_col, cand_g, k,
+            exclude_self, interpret,
+        )
+        d_parts.append(dk[: gt * CHUNK])
+        i_parts.append(ik[: gt * CHUNK])
+    return jnp.concatenate(d_parts), jnp.concatenate(i_parts)
