@@ -82,3 +82,21 @@ def test_engines_agree_on_float32_voxel():
             np.asarray(r2[key], dtype=np.float64),
             rtol=1e-6, err_msg=str(key),
         )
+
+
+def test_exact_bucket_boundary_sizes():
+    # n exactly at the padded-bucket boundary (no sentinel rows at all) and
+    # n one below/above: the masking and certificate logic must not depend
+    # on sentinels existing.
+    rng = np.random.default_rng(5)
+    for n in (256, 255, 257, 512, 2048):
+        pts0 = rng.uniform(0, 100, (n, 3))
+        pts1 = pts0 + 0.05
+        a = Cloud.from_numpy(pts0, dtype=jnp.float64)
+        b = Cloud.from_numpy(pts1, dtype=jnp.float64)
+        ji, jd = nn_chunked(a.points, b.points)
+        pi, pd = nn_pruned(a.points, b.points, a.n, b.n)
+        np.testing.assert_allclose(
+            np.asarray(pd)[:n], np.asarray(jd)[:n], rtol=1e-12,
+            err_msg=f"n={n}",
+        )
