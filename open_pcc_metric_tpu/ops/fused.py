@@ -52,6 +52,7 @@ def _masked_min(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 def _pair_stats_pruned(
     a_pts, b_pts, n_a, n_b, a_col, b_col, a_nrm, b_nrm, ga, gb,
     a_col_sorted=None, b_col_sorted=None,
+    a_nrm_sorted=None, b_nrm_sorted=None,
     *, color_scheme, point_to_plane, d2_mode, with_boundary,
     prune_cap, prune_fallback,
 ):
@@ -76,38 +77,92 @@ def _pair_stats_pruned(
     mask_a = jnp.arange(pa) < n_a
     mask_b = jnp.arange(pb) < n_b
 
-    d0, i0, ov0 = nn_pruned_sorted(
-        ga, gb, n_a, cap=prune_cap, fallback_tiles=prune_fallback
-    )
-    d1, i1, ov1 = nn_pruned_sorted(
-        gb, ga, n_b, cap=prune_cap, fallback_tiles=prune_fallback
-    )
-    overflows = [ov0, ov1]
+    # The winning neighbour's payload (points/colours/normals) either comes
+    # straight out of the Pallas refine kernel (in-kernel one-hot selection;
+    # TPU f32 with tile counts divisible by the kernel's step) or via ONE
+    # concatenated row-gather per direction (gathers pay per row, not byte).
+    # The in-kernel path is measurably SLOWER end-to-end at 800k (5.1 vs 5.8
+    # Mpts/s: the per-chunk one-hot HIGHEST matmuls + payload block DMAs cost
+    # more than the single row-gather they replace), so it stays opt-in
+    # (PCC_PAYLOAD_KERNEL=1) pending a cheaper in-kernel selection.
+    import os
 
-    # ONE payload gather per direction: TPU row-gathers pay per row, not per
-    # byte, so the neighbour's points/colours/normals are fetched as a single
-    # concatenated matrix instead of 2-3 separate gathers.
-    def gather_payload(pts, col, nrm, idx):
-        parts = [pts]
-        if color_scheme is not None:
-            parts.append(col)
-        if point_to_plane and d2_mode != "reference":
-            parts.append(nrm)
-        pay = jnp.take(
-            jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0],
-            idx, axis=0, mode="clip",
+    need_payload = color_scheme is not None or point_to_plane
+    use_paykernel = (
+        need_payload
+        and os.environ.get("PCC_PAYLOAD_KERNEL") == "1"
+        and jax.default_backend() == "tpu"
+        and a_pts.dtype == jnp.float32
+        and pa % (256 * 8) == 0
+        and pb % (256 * 8) == 0
+    )
+
+    def split_payload(pay):
+        return {"pts": pay[:, :3], "col": pay[:, 3:6], "nrm": pay[:, 6:9]}
+
+    if use_paykernel:
+        from .nn_pruned import nn_pruned_sorted_payload
+        from .refine_pallas import PAYLOAD_F
+
+        def pack(pts_sorted, col_s, nrm_s, pts_o, col_o, nrm_o, p):
+            z = jnp.zeros((p, 3), pts_sorted.dtype)
+            zpad = jnp.zeros((p, PAYLOAD_F - 9), pts_sorted.dtype)
+            srt = jnp.concatenate(
+                [pts_sorted, col_s if col_s is not None else z,
+                 nrm_s if nrm_s is not None else z, zpad], axis=1,
+            )
+            orig = jnp.concatenate(
+                [pts_o, col_o if col_o is not None else z,
+                 nrm_o if nrm_o is not None else z, zpad], axis=1,
+            )
+            return srt.T, orig
+
+        payT_b, pay_orig_b = pack(
+            gb.points, b_col_sorted, b_nrm_sorted, b_pts, b_col, b_nrm, pb
         )
-        out = {"pts": pay[:, :3]}
-        c = 3
-        if color_scheme is not None:
-            out["col"] = pay[:, c : c + 3]
-            c += 3
-        if point_to_plane and d2_mode != "reference":
-            out["nrm"] = pay[:, c : c + 3]
-        return out
+        payT_a, pay_orig_a = pack(
+            ga.points, a_col_sorted, a_nrm_sorted, a_pts, a_col, a_nrm, pa
+        )
+        d0, i0, pr0, ov0 = nn_pruned_sorted_payload(
+            ga, gb, payT_b, pay_orig_b, n_a,
+            cap=prune_cap, fallback_tiles=prune_fallback,
+        )
+        d1, i1, pr1, ov1 = nn_pruned_sorted_payload(
+            gb, ga, payT_a, pay_orig_a, n_b,
+            cap=prune_cap, fallback_tiles=prune_fallback,
+        )
+        pay0 = split_payload(pr0)
+        pay1 = split_payload(pr1)
+    else:
+        d0, i0, ov0 = nn_pruned_sorted(
+            ga, gb, n_a, cap=prune_cap, fallback_tiles=prune_fallback
+        )
+        d1, i1, ov1 = nn_pruned_sorted(
+            gb, ga, n_b, cap=prune_cap, fallback_tiles=prune_fallback
+        )
 
-    pay0 = gather_payload(b_pts, b_col, b_nrm, i0)
-    pay1 = gather_payload(a_pts, a_col, a_nrm, i1)
+        def gather_payload(pts, col, nrm, idx):
+            parts = [pts]
+            if color_scheme is not None:
+                parts.append(col)
+            if point_to_plane and d2_mode != "reference":
+                parts.append(nrm)
+            pay = jnp.take(
+                jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0],
+                idx, axis=0, mode="clip",
+            )
+            out = {"pts": pay[:, :3]}
+            c = 3
+            if color_scheme is not None:
+                out["col"] = pay[:, c : c + 3]
+                c += 3
+            if point_to_plane and d2_mode != "reference":
+                out["nrm"] = pay[:, c : c + 3]
+            return out
+
+        pay0 = gather_payload(b_pts, b_col, b_nrm, i0)
+        pay1 = gather_payload(a_pts, a_col, a_nrm, i1)
+    overflows = [ov0, ov1]
 
     out: typing.Dict[str, jnp.ndarray] = {
         "n_a": n_a,
@@ -200,6 +255,8 @@ def pair_stats(
     gb=None,
     a_col_sorted: typing.Optional[jnp.ndarray] = None,
     b_col_sorted: typing.Optional[jnp.ndarray] = None,
+    a_nrm_sorted: typing.Optional[jnp.ndarray] = None,
+    b_nrm_sorted: typing.Optional[jnp.ndarray] = None,
     color_scheme: typing.Optional[str] = None,
     point_to_plane: bool = False,
     d2_mode: str = "reference",
@@ -223,7 +280,7 @@ def pair_stats(
         # 850k-row unsort gathers (one of the dominant costs otherwise).
         return _pair_stats_pruned(
             a_pts, b_pts, n_a, n_b, a_col, b_col, a_nrm, b_nrm, ga, gb,
-            a_col_sorted, b_col_sorted,
+            a_col_sorted, b_col_sorted, a_nrm_sorted, b_nrm_sorted,
             color_scheme=color_scheme, point_to_plane=point_to_plane,
             d2_mode=d2_mode, with_boundary=with_boundary,
             prune_cap=prune_cap, prune_fallback=prune_fallback,
@@ -385,6 +442,17 @@ def _sorted_colors(cloud):
     return cs
 
 
+def _sorted_normals(cloud, nrm):
+    """Per-Cloud cached Morton-sorted normals (file-provided or estimated)."""
+    if nrm is None:
+        return None
+    ns = getattr(cloud, "_sorted_normals", None)
+    if ns is None:
+        ns = jnp.take(nrm, cloud.get_grid().perm, axis=0)
+        cloud._sorted_normals = ns
+    return ns
+
+
 def boundary_stats(cloud, backend: str = "auto"):
     """Cached (min, max) intra-cloud NN distances of one cloud.
 
@@ -458,12 +526,16 @@ def fused_evaluate(
                 b._est_normals = b_nrm
     ga = gb = None
     a_col_sorted = b_col_sorted = None
+    a_nrm_sorted = b_nrm_sorted = None
     if backend == "pruned":
         ga = a.get_grid()
         gb = b.get_grid()
         if color_scheme is not None:
             a_col_sorted = _sorted_colors(a)
             b_col_sorted = _sorted_colors(b)
+        if point_to_plane:
+            a_nrm_sorted = _sorted_normals(a, a_nrm)
+            b_nrm_sorted = _sorted_normals(b, b_nrm)
     self_min, self_max = boundary_stats(a, backend=backend)
     cap, fallback = 32, 256
     while True:
@@ -480,6 +552,8 @@ def fused_evaluate(
             gb=gb,
             a_col_sorted=a_col_sorted,
             b_col_sorted=b_col_sorted,
+            a_nrm_sorted=a_nrm_sorted,
+            b_nrm_sorted=b_nrm_sorted,
             color_scheme=color_scheme,
             point_to_plane=point_to_plane,
             d2_mode=d2_mode,

@@ -307,3 +307,117 @@ def nn_pruned(
             return idx, d
         cap = min(cap * 4, ncb)
         fallback_tiles = min(fallback_tiles * 4, nta)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("exclude_self", "cap", "fallback_tiles")
+)
+def nn_pruned_sorted_payload(
+    ga: ChunkGrid,
+    gb: ChunkGrid,
+    payT_sorted: jnp.ndarray,  # (PAYLOAD_F, Pb) packed sorted-order payload
+    pay_orig: jnp.ndarray,  # (Pb, PAYLOAD_F) same payload, original order
+    n_a: jnp.ndarray,
+    exclude_self: bool = False,
+    cap: int = 32,
+    fallback_tiles: int = 128,
+):
+    """nn_pruned_sorted + the winning neighbour's payload, via the in-kernel
+    one-hot selection (TPU float32 only; see refine_pallas.PAYLOAD_F).
+
+    Returns ``(dist_sq, idx_orig, payload (Pa, PAYLOAD_F), overflow)``.
+    """
+    from .refine_pallas import refine_nn_pallas_payload
+
+    dtype = ga.points.dtype
+    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    nta = ga.points.shape[0] // CHUNK
+    ncb = gb.n_chunks
+    cap = min(cap, ncb)
+
+    a_tiles = ga.points.reshape(nta, CHUNK, 3)
+    b_chunks = gb.points.reshape(ncb, CHUNK, 3)
+    valid_t = (jnp.arange(nta * CHUNK) < n_a).reshape(nta, CHUNK)
+
+    a_lo = jnp.min(jnp.where(valid_t[:, :, None], a_tiles, big), axis=1)
+    a_hi = jnp.max(jnp.where(valid_t[:, :, None], a_tiles, -big), axis=1)
+    lb = bbox_lower_bounds(a_lo, a_hi, gb.bbox_lo, gb.bbox_hi)
+
+    _, cand = jax.lax.top_k(-lb, cap)
+    cand = cand.astype(jnp.int32)
+
+    qt8 = jnp.pad(ga.points, ((0, 0), (0, 5))).T
+    bt8 = qt8 if gb is ga else jnp.pad(gb.points, ((0, 0), (0, 5))).T
+    dmin, gidx, pay = refine_nn_pallas_payload(
+        qt8, bt8, gb.perm[None, :], payT_sorted, cand,
+        exclude_self=exclude_self,
+    )
+    dmin = dmin.reshape(nta, CHUNK)
+
+    # certificate + stage-2 re-refine (XLA path; payload patched by gather —
+    # only fallback_tiles*CHUNK rows)
+    ub = jnp.max(jnp.where(valid_t, dmin, -jnp.inf), axis=1)
+    ub_eff = ub * (1 + 8 * eps) + 8 * eps
+    counts = jnp.sum(lb <= ub_eff[:, None], axis=1).astype(jnp.int32)
+    n_over = jnp.sum(counts > cap)
+
+    ft = min(fallback_tiles, nta)
+    cap2 = min(max(8 * cap, 512), ncb)
+    dmin = dmin.reshape(nta * CHUNK)
+    overflow = n_over > ft
+    if ft > 0 and cap2 > cap:
+        b_perm_chunks = gb.perm.reshape(ncb, CHUNK)
+        _, otiles = jax.lax.top_k(counts, ft)
+        otiles = otiles.astype(jnp.int32)
+        oq = a_tiles[otiles]
+        olb = lb[otiles]
+        _, ocand = jax.lax.top_k(-olb, cap2)
+        ocand = ocand.astype(jnp.int32)
+
+        def refine2(args):
+            q, cidx, tbase = args
+            bt = q.shape[0]
+            cand_pts = b_chunks[cidx].reshape(bt, cap2 * CHUNK, 3)
+            d = _pairwise_sq(q, cand_pts)
+            borig = b_perm_chunks[cidx].reshape(bt, 1, cap2 * CHUNK)
+            if exclude_self:
+                gcol = (cidx[:, :, None] * CHUNK
+                        + jnp.arange(CHUNK, dtype=jnp.int32)
+                        ).reshape(bt, 1, cap2 * CHUNK)
+                grow = (tbase[:, None] * CHUNK
+                        + jnp.arange(CHUNK, dtype=jnp.int32))[:, :, None]
+                d = jnp.where(grow == gcol, jnp.inf, d)
+            dm = jnp.min(d, axis=2)
+            at_min = d == dm[:, :, None]
+            gi = jnp.min(
+                jnp.where(at_min, jnp.broadcast_to(borig, d.shape), INT_MAX),
+                axis=2,
+            )
+            return dm, gi
+
+        b2 = _pick_batch(ft, 4)
+        fb_d, fb_i = jax.lax.map(
+            refine2,
+            (
+                oq.reshape(ft // b2, b2, CHUNK, 3),
+                ocand.reshape(ft // b2, b2, cap2),
+                otiles.reshape(ft // b2, b2),
+            ),
+        )
+        fb_d = fb_d.reshape(ft, CHUNK)
+        fb_i = fb_i.reshape(ft, CHUNK)
+        ovalid = valid_t[otiles]
+        ub2 = jnp.max(jnp.where(ovalid, fb_d, -jnp.inf), axis=1)
+        ub2_eff = ub2 * (1 + 8 * eps) + 8 * eps
+        counts2 = jnp.sum(olb <= ub2_eff[:, None], axis=1)
+        overflow = overflow | jnp.any(counts2 > cap2)
+        orows = (otiles[:, None] * CHUNK
+                 + jnp.arange(CHUNK, dtype=jnp.int32)).reshape(ft * CHUNK)
+        fb_pay = jnp.take(pay_orig, fb_i.reshape(ft * CHUNK), axis=0,
+                          mode="clip")
+        dmin = dmin.at[orows].set(fb_d.reshape(ft * CHUNK))
+        gidx = gidx.at[orows].set(fb_i.reshape(ft * CHUNK))
+        pay = pay.at[orows].set(fb_pay)
+
+    return dmin, gidx, pay, overflow

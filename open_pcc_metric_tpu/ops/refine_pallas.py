@@ -805,3 +805,166 @@ def refine_knn_pallas_t(
         d_parts.append(dk[: gt * CHUNK])
         i_parts.append(ik[: gt * CHUNK])
     return jnp.concatenate(d_parts), jnp.concatenate(i_parts)
+
+
+# ---------------------------------------------------------------------------
+# Payload variant of the transposed kernel: besides (dist, orig idx), emit
+# the winning neighbour's PAYLOAD row (points/colours/normals packed into 16
+# floats) selected in-kernel with an exactly-one-hot MXU matmul — the
+# XLA-side per-direction payload gathers (the 2nd-largest cost in the fused
+# suite) disappear.
+# ---------------------------------------------------------------------------
+
+PAYLOAD_F = 16  # packed payload rows: [pts(3), col(3), nrm(3), pad...]
+
+
+def _nn_kernel_tp(cand_ref, off_ref, qt_ref, *rest, exclude_self):
+    tt = _TILES_PER_STEP
+    b_refs = rest[:tt]
+    borig_refs = rest[tt : 2 * tt]
+    pay_refs = rest[2 * tt : 3 * tt]
+    bestd_ref, besti_ref, bestp_ref = rest[3 * tt : 3 * tt + 3]
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        bestd_ref[:] = jnp.full_like(bestd_ref, jnp.inf)
+        besti_ref[:] = jnp.full_like(besti_ref, INT_MAX)
+        bestp_ref[:] = jnp.zeros_like(bestp_ref)
+
+    q = qt_ref[:]  # (8, tt*CHUNK)
+    for t in range(tt):
+        b = b_refs[t][:]  # (CHUNK, 8)
+        d = None
+        for kk in range(3):
+            bk = b[:, kk].reshape(CHUNK, 1)
+            qk = q[kk, t * CHUNK : (t + 1) * CHUNK].reshape(1, CHUNK)
+            diff = bk - qk
+            d = diff * diff if d is None else d + diff * diff
+        if exclude_self:
+            cj = cand_ref[i * tt + t, j]
+            crow = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0) \
+                + cj * CHUNK
+            qcol = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1) \
+                + (off_ref[0] + i * tt + t) * CHUNK
+            d = jnp.where(crow == qcol, jnp.inf, d)
+        dmin = jnp.min(d, axis=0, keepdims=True)  # (1, CHUNK)
+        at_min = d == dmin
+        bor = jnp.broadcast_to(borig_refs[t][:], d.shape)
+        ii = jnp.min(jnp.where(at_min, bor, INT_MAX), axis=0, keepdims=True)
+        # Exactly-one-hot winner mask (borig unique per chunk).
+        sel = (at_min & (bor == ii)).astype(jnp.float32)  # (cand, query)
+        pay_q = jax.lax.dot_general(
+            pay_refs[t][:], sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (PAYLOAD_F, CHUNK)
+
+        prev_d = bestd_ref[t : t + 1, :]
+        prev_i = besti_ref[t : t + 1, :]
+        better = (dmin < prev_d) | ((dmin == prev_d) & (ii < prev_i))
+        bestd_ref[t : t + 1, :] = jnp.where(better, dmin, prev_d)
+        besti_ref[t : t + 1, :] = jnp.where(better, ii, prev_i)
+        prow = bestp_ref[t * PAYLOAD_F : (t + 1) * PAYLOAD_F, :]
+        bestp_ref[t * PAYLOAD_F : (t + 1) * PAYLOAD_F, :] = jnp.where(
+            better, pay_q, prow
+        )
+
+
+def _nn_group_tp(qt8_g, tbase, b8r, borig_col, payT, cand_g, exclude_self,
+                 interpret):
+    gt, cap = cand_g.shape
+    tt = _TILES_PER_STEP
+
+    def b_spec(t):
+        return pl.BlockSpec(
+            (CHUNK, 8), lambda i, j, cand, off, t=t: (cand[i * tt + t, j], 0)
+        )
+
+    def bor_spec(t):
+        return pl.BlockSpec(
+            (CHUNK, 1), lambda i, j, cand, off, t=t: (cand[i * tt + t, j], 0)
+        )
+
+    def pay_spec(t):
+        return pl.BlockSpec(
+            (PAYLOAD_F, CHUNK),
+            lambda i, j, cand, off, t=t: (0, cand[i * tt + t, j]),
+        )
+
+    kernel = functools.partial(_nn_kernel_tp, exclude_self=exclude_self)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(gt // tt, cap),
+        in_specs=(
+            [pl.BlockSpec((8, tt * CHUNK), lambda i, j, cand, off: (0, i))]
+            + [b_spec(t) for t in range(tt)]
+            + [bor_spec(t) for t in range(tt)]
+            + [pay_spec(t) for t in range(tt)]
+        ),
+        out_specs=[
+            pl.BlockSpec((tt, CHUNK), lambda i, j, cand, off: (i, 0)),
+            pl.BlockSpec((tt, CHUNK), lambda i, j, cand, off: (i, 0)),
+            pl.BlockSpec((tt * PAYLOAD_F, CHUNK),
+                         lambda i, j, cand, off: (i, 0)),
+        ],
+    )
+    bestd, besti, bestp = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((gt, CHUNK), jnp.float32),
+            jax.ShapeDtypeStruct((gt, CHUNK), jnp.int32),
+            jax.ShapeDtypeStruct((gt * PAYLOAD_F, CHUNK), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(cand_g, tbase, qt8_g, *([b8r] * tt), *([borig_col] * tt),
+      *([payT] * tt))
+    pay = bestp.reshape(gt, PAYLOAD_F, CHUNK).transpose(0, 2, 1).reshape(
+        gt * CHUNK, PAYLOAD_F
+    )
+    return bestd.reshape(gt * CHUNK), besti.reshape(gt * CHUNK), pay
+
+
+@functools.partial(
+    jax.jit, static_argnames=("exclude_self", "interpret")
+)
+def refine_nn_pallas_payload(
+    qt8: jnp.ndarray,  # (8, Pa)
+    bt8: jnp.ndarray,  # (8, Pb)
+    borig: jnp.ndarray,  # (1, Pb)
+    payT: jnp.ndarray,  # (PAYLOAD_F, Pb) packed sorted-order payload
+    cand: jnp.ndarray,  # (nta, cap)
+    exclude_self: bool = False,
+    interpret: bool = False,
+):
+    """Like refine_nn_pallas_t but also returns the winner's payload
+    ``(d (Pa,), idx (Pa,), payload (Pa, PAYLOAD_F))``. Requires nta to be a
+    multiple of _TILES_PER_STEP (cloud padding guarantees it)."""
+    nta, cap = cand.shape
+    if nta % _TILES_PER_STEP:
+        raise ValueError(
+            f"nta ({nta}) must be a multiple of {_TILES_PER_STEP}"
+        )
+    b8r = bt8.T
+    borig_col = borig.reshape(-1, 1)
+    tt = _TILES_PER_STEP
+    group = (TILE_GROUP // tt) * tt
+    d_parts, i_parts, p_parts = [], [], []
+    for g0 in range(0, nta, group):
+        gt = min(group, nta - g0)
+        d_g, i_g, p_g = _nn_group_tp(
+            jax.lax.slice_in_dim(qt8, g0 * CHUNK, (g0 + gt) * CHUNK, axis=1),
+            jnp.array([g0], jnp.int32), b8r, borig_col, payT,
+            jax.lax.slice_in_dim(cand, g0, g0 + gt, axis=0),
+            exclude_self, interpret,
+        )
+        d_parts.append(d_g)
+        i_parts.append(i_g)
+        p_parts.append(p_g)
+    return (jnp.concatenate(d_parts), jnp.concatenate(i_parts),
+            jnp.concatenate(p_parts))

@@ -1,5 +1,6 @@
 """Pallas NN kernel equivalence vs the jnp path (interpret mode on CPU)."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -79,3 +80,38 @@ def test_pruned_knn_pallas_interpret_matches_xla():
     n = a.n
     np.testing.assert_array_equal(np.asarray(d1)[:n], np.asarray(d2)[:n])
     np.testing.assert_array_equal(np.asarray(i1)[:n], np.asarray(i2)[:n])
+
+
+def test_payload_kernel_interpret_matches_gathers():
+    """In-kernel one-hot payload selection == XLA gather payloads."""
+    from open_pcc_metric_tpu.ops.grid import bbox_lower_bounds
+    from open_pcc_metric_tpu.ops.refine_pallas import (
+        PAYLOAD_F, refine_nn_pallas_payload,
+    )
+
+    rng = np.random.default_rng(50)
+    n = 2000  # pads to 2048 -> 8 tiles (multiple of the kernel step)
+    pts = rng.integers(0, 512, (n, 3)).astype(np.float64)
+    col = rng.uniform(0, 1, (n, 3))
+    c = Cloud.from_numpy(pts, colors=col, dtype=jnp.float32)
+    g = c.get_grid()
+    p = c.padded_size
+    lb = bbox_lower_bounds(g.bbox_lo, g.bbox_hi, g.bbox_lo, g.bbox_hi)
+    _, cand = jax.lax.top_k(-lb, 8)
+    cand = cand.astype(jnp.int32)
+    qt8 = jnp.pad(g.points, ((0, 0), (0, 5))).T
+    col_sorted = jnp.take(c.colors, g.perm, axis=0)
+    z = jnp.zeros((p, 3), jnp.float32)
+    zpad = jnp.zeros((p, PAYLOAD_F - 9), jnp.float32)
+    payT = jnp.concatenate([g.points, col_sorted, z, zpad], axis=1).T
+    d, idx, pay = refine_nn_pallas_payload(
+        qt8, qt8, g.perm[None, :], payT, cand, interpret=True
+    )
+    idx = np.asarray(idx)
+    # payload pts/cols must equal gathers at the returned indices
+    np.testing.assert_allclose(
+        np.asarray(pay)[:, :3], np.asarray(c.points)[idx], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(pay)[:, 3:6], np.asarray(c.colors)[idx], rtol=1e-6
+    )
