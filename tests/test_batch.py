@@ -170,3 +170,28 @@ class TestDatasets:
         assert len(degraded) == 2
         for qp, p in degraded:
             assert read_point_cloud(p).n > 0
+
+
+def test_sharded_sweep_estimates_normals_in_mesh(frames, tmp_path):
+    # No normals in the files: the sharded path estimates them with the
+    # ring k-NN; must match the single-chip sweep (which estimates with the
+    # brute/pruned k-NN) on these tie-free surfaces.
+    odir, pdir, _ = frames
+    items = pairs_from_dirs(str(odir), str(pdir))[:2]
+    j1 = tmp_path / "single_p2p.jsonl"
+    j2 = tmp_path / "sharded_p2p.jsonl"
+    r1 = run_sweep(items, str(j1), point_to_plane=True, d2_mode="pc_error",
+                   dtype="float64")
+    r2 = run_sweep_sharded(items, str(j2), dp=2, point_to_plane=True,
+                           d2_mode="pc_error", dtype="float64")
+    by_tag = {r["tag"]: r for r in r2}
+    for rec in r1:
+        m1 = rec["metrics"]
+        m2 = by_tag[rec["tag"]]["metrics"]
+        np.testing.assert_allclose(m1["geo_mse_left"], m2["geo_mse_left"],
+                                   rtol=1e-9)
+        # D2 depends on estimated normals; voxel grids have k-NN ties, so
+        # equidistant neighbourhoods may differ slightly between the two
+        # exact k-NN implementations.
+        np.testing.assert_allclose(m1["d2_mse_left"], m2["d2_mse_left"],
+                                   rtol=0.05)
