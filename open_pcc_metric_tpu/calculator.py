@@ -81,9 +81,9 @@ class MetricCalculator:
             return metric
 
         if not isinstance(metric, SecondaryMetric):
-            unknwn = metric.__class__.__name__
             raise RuntimeError(
-                f"Metric of unknown AbstractMetric subclass {unknwn}"
+                f"cannot evaluate {metric.__class__.__name__}: every metric "
+                "must derive from PrimaryMetric or SecondaryMetric"
             )
 
         calculated_deps = {

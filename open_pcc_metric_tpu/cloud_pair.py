@@ -146,9 +146,20 @@ class CloudPair:
         return d[: self.clouds[1].n]
 
     def get_boundary_sqrt_distances(self) -> jnp.ndarray:
-        """Intra-origin plain (non-squared) NN distances (SURVEY Q6)."""
+        """Intra-origin plain (non-squared) NN distances (SURVEY Q6).
+
+        Raises ValueError for a single-point origin cloud: a self-excluded
+        nearest neighbour does not exist there. (The reference crashes
+        inside Open3D on that input, cloud_pair.py:108-109; an explicit
+        error is this framework's documented contract.)
+        """
         if self._boundary_cache is None:
             c = self.clouds[0]
+            if int(c.n) < 2:
+                raise ValueError(
+                    "intra-cloud NN distances need at least 2 points; the "
+                    f"origin cloud has {int(c.n)}"
+                )
             if self._use_pruned(c, c):
                 _, d = nn_ops.nearest_neighbors(
                     c.points, c.points, exclude_self=True, backend="pruned",

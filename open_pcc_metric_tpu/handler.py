@@ -102,7 +102,7 @@ def cli(
     import sys
     import time
 
-    from .evaluate import evaluate_files, load_cloud, evaluate_pair
+    from .evaluate import load_cloud, evaluate_pair
     from .options import CalculateOptions
     from .utils.profiling import mpoints_per_sec, trace
 

@@ -74,7 +74,7 @@ class AbstractMetric(abc.ABC):
         raise NotImplementedError("calculate is not implemented")
 
     def __str__(self) -> str:
-        return "{key}: {value}".format(key=self._key(), value=str(self.value))
+        return f"{self._key()}: {self.value}"
 
 
 class PrimaryMetric(AbstractMetric):
@@ -104,10 +104,6 @@ class DirectionalMetric(AbstractMetric):
 
     def _key(self) -> typing.Tuple:
         return super()._key() + (self.is_left,)
-
-
-def _p2p_flag(point_to_plane) -> bool:
-    return bool(point_to_plane)
 
 
 class PointToPlaneable(DirectionalMetric):
@@ -262,19 +258,25 @@ class EuclideanDistance(SecondaryMetric, PointToPlaneable):
 
 
 class MinSqrtDistance(SecondaryMetric):
-    def _get_dependencies(self) -> typing.Dict[str, AbstractMetric]:
-        return {"boundary_metric": BoundarySqrtDistances()}
+    """Smallest intra-origin NN distance; first report row (ref metric.py:191-199)."""
 
-    def calculate(self, boundary_metric: BoundarySqrtDistances) -> None:
-        self.value = boundary_metric.value[0]
+    def _get_dependencies(self) -> typing.Dict[str, AbstractMetric]:
+        return {"boundary": BoundarySqrtDistances()}
+
+    def calculate(self, boundary: BoundarySqrtDistances) -> None:
+        lo, _hi = boundary.value
+        self.value = lo
 
 
 class MaxSqrtDistance(SecondaryMetric):
-    def _get_dependencies(self) -> typing.Dict[str, AbstractMetric]:
-        return {"boundary_metric": BoundarySqrtDistances()}
+    """Largest intra-origin NN distance; second report row (ref metric.py:202-210)."""
 
-    def calculate(self, boundary_metric: BoundarySqrtDistances) -> None:
-        self.value = boundary_metric.value[1]
+    def _get_dependencies(self) -> typing.Dict[str, AbstractMetric]:
+        return {"boundary": BoundarySqrtDistances()}
+
+    def calculate(self, boundary: BoundarySqrtDistances) -> None:
+        _lo, hi = boundary.value
+        self.value = hi
 
 
 class GeoMSE(SecondaryMetric, PointToPlaneable):
@@ -457,12 +459,15 @@ class SymmetricMetric(SecondaryMetric):
         is_proportional: bool,
     ):
         if len(metrics) != 2:
-            raise ValueError("Must be exactly two metrics")
-        if metrics[0].__class__ != metrics[1].__class__:
-            lclass = metrics[0].__class__
-            rclass = metrics[1].__class__
             raise ValueError(
-                f"Metrics must be of same class, got: {lclass}, {rclass}"
+                "a symmetric metric wraps exactly two directional metrics, "
+                f"got {len(metrics)}"
+            )
+        if metrics[0].__class__ is not metrics[1].__class__:
+            raise ValueError(
+                "both directions must use the same metric class; got "
+                f"{metrics[0].__class__.__name__} and "
+                f"{metrics[1].__class__.__name__}"
             )
         self.metrics = list(metrics)
         self.is_proportional = is_proportional

@@ -61,7 +61,7 @@ def get_lib():
             ctypes.c_char_p, ctypes.c_long,
             ctypes.POINTER(ctypes.c_double), ctypes.c_long,
         ]
-        lib.pcc_radix_argsort_u32.restype = None
+        lib.pcc_radix_argsort_u32.restype = ctypes.c_int
         lib.pcc_radix_argsort_u32.argtypes = [
             ctypes.POINTER(ctypes.c_uint32), ctypes.c_long,
             ctypes.POINTER(ctypes.c_int32),
@@ -100,11 +100,13 @@ def radix_argsort_u32(keys: np.ndarray) -> typing.Optional[np.ndarray]:
         return None
     keys = np.ascontiguousarray(keys, dtype=np.uint32)
     perm = np.empty(keys.shape[0], dtype=np.int32)
-    lib.pcc_radix_argsort_u32(
+    rc = lib.pcc_radix_argsort_u32(
         keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         keys.shape[0],
         perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
+    if rc != 0:  # scratch allocation failed: perm is uninitialised
+        return None
     return perm
 
 

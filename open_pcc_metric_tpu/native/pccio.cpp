@@ -123,10 +123,11 @@ long pcc_parse_floats(const char *data, long len, double *out, long count) {
 
 // Stable LSD radix argsort of uint32 keys (4 x 8-bit passes).
 // perm[out rank] = original index; ties keep original order.
-void pcc_radix_argsort_u32(const uint32_t *keys, long n, int32_t *perm) {
+// Returns 0 on success, 1 when scratch allocation fails (perm untouched).
+int pcc_radix_argsort_u32(const uint32_t *keys, long n, int32_t *perm) {
   int32_t *cur = perm;
   int32_t *tmp = static_cast<int32_t *>(malloc(sizeof(int32_t) * n));
-  if (!tmp) return;
+  if (!tmp) return 1;
   for (long i = 0; i < n; ++i) cur[i] = static_cast<int32_t>(i);
 
   long counts[256];
@@ -151,6 +152,7 @@ void pcc_radix_argsort_u32(const uint32_t *keys, long n, int32_t *perm) {
   }
   // 4 passes (even): result already in perm.
   free(tmp);
+  return 0;
 }
 
 // out[i, :] = src[perm[i], :] for (n, cols) float64 matrices.

@@ -463,6 +463,13 @@ def boundary_stats(cloud, backend: str = "auto"):
     cached = getattr(cloud, "_boundary_stats", None)
     if cached is not None:
         return cached
+    if int(cloud.n) < 2:
+        # Documented contract (see CloudPair.get_boundary_sqrt_distances):
+        # a self-excluded nearest neighbour needs a second point.
+        raise ValueError(
+            "intra-cloud NN distances need at least 2 points; the cloud "
+            f"has {int(cloud.n)}"
+        )
     if backend == "auto":
         if cloud.padded_size >= nn_ops.PRUNE_THRESHOLD:
             backend = "pruned"
@@ -473,15 +480,19 @@ def boundary_stats(cloud, backend: str = "auto"):
         from .nn_pruned import nn_pruned_sorted
 
         g = cloud.get_grid()
+        n_chunks = cloud.padded_size // 256
         cap, fallback = 32, 256
         while True:
             d, _, overflow = nn_pruned_sorted(
                 g, g, jnp.asarray(cloud.n), exclude_self=True,
                 cap=cap, fallback_tiles=fallback,
             )
-            if fallback >= cloud.padded_size // 256 or not bool(overflow):
+            # Exact iff certified, or stage 1 refined every chunk (at which
+            # point the certificate cannot fail).
+            if not bool(overflow) or cap >= n_chunks:
                 break
-            cap, fallback = cap * 4, fallback * 4
+            cap = min(cap * 4, n_chunks)
+            fallback = min(fallback * 4, n_chunks)
     else:
         _, d = nn_ops.nearest_neighbors(
             cloud.points, cloud.points, exclude_self=True, backend=backend,
@@ -562,15 +573,19 @@ def fused_evaluate(
             prune_cap=cap,
             prune_fallback=fallback,
         )
-        max_tiles = max(a.padded_size, b.padded_size) // 256
+        max_chunks = max(a.padded_size, b.padded_size) // 256
         stats = jax.device_get(stats)  # one round-trip: results + overflow
+        # Exact iff every direction's certificate passed, or the stage-1 cap
+        # covers all chunks of the larger cloud (brute force for both
+        # directions, where the certificate cannot fail).
         if (
             "nn_overflow" not in stats
             or not bool(stats["nn_overflow"])
-            or fallback >= max_tiles
+            or cap >= max_chunks
         ):
             break
-        cap, fallback = cap * 4, fallback * 4
+        cap = min(cap * 4, max_chunks)
+        fallback = min(fallback * 4, max_chunks)
     stats = dict(stats)
     stats["self_min"], stats["self_max"] = jax.device_get(
         (self_min, self_max)

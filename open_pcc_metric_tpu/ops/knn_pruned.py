@@ -242,7 +242,11 @@ def knn_pruned(
             a_points, b_points, jnp.asarray(n_a), jnp.asarray(n_b), k,
             exclude_self, cap, fallback_tiles,
         )
-        if fallback_tiles >= nta or not bool(overflow):
+        # Exact iff the certificate passed or stage 1 refined every chunk
+        # (cap >= ncb: counts <= cap, so the certificate cannot fail).
+        # A full fallback budget alone does NOT imply exactness — stage 2
+        # still refines only cap2 < ncb chunks per tile.
+        if not bool(overflow) or cap >= ncb:
             _ESCALATION_MEMO[key] = (cap, fallback_tiles)
             return idx, d
         cap = min(cap * 4, ncb)

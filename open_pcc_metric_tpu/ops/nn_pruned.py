@@ -265,7 +265,10 @@ def nn_pruned_with_grids(
             ga, gb, jnp.asarray(n_a), exclude_self=exclude_self, cap=cap,
             fallback_tiles=fallback_tiles,
         )
-        if fallback_tiles >= nta or not bool(overflow):
+        # Exact iff the certificate passed, or stage 1 already refined every
+        # chunk (cap >= ncb forces counts <= cap, so overflow is then
+        # impossible — the second test is a belt-and-braces terminator).
+        if not bool(overflow) or cap >= ncb:
             d, idx = unsort_nn_result(ga, gb, d_s, i_s)
             return idx, d
         cap = min(cap * 4, ncb)
@@ -286,12 +289,11 @@ def nn_pruned(
 ) -> typing.Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact pruned 1-NN in ORIGINAL row order with automatic escalation.
 
-    Returns ``(idx int32 (Pa,), dist_sq (Pa,))``. Exact whenever the number
-    of certificate-failing tiles fits the fallback budget; otherwise both cap
-    and budget escalate x4 until the fallback covers every tile (which
-    degenerates to brute force, so exactness always holds). The working
-    level is remembered per problem shape, so repeat calls skip the
-    overflowing levels.
+    Returns ``(idx int32 (Pa,), dist_sq (Pa,))``. Exact whenever the
+    certificate passes; otherwise both cap and budget escalate x4 until the
+    stage-1 cap covers every search chunk (genuine brute force, where the
+    certificate cannot fail). The working level is remembered per problem
+    shape, so repeat calls skip the overflowing levels.
     """
     nta = a_points.shape[0] // CHUNK
     ncb = b_points.shape[0] // CHUNK
@@ -302,7 +304,7 @@ def nn_pruned(
             a_points, b_points, jnp.asarray(n_a), jnp.asarray(n_b),
             exclude_self, cap, fallback_tiles=fallback_tiles,
         )
-        if fallback_tiles >= nta or not bool(overflow):
+        if not bool(overflow) or cap >= ncb:
             _ESCALATION_MEMO[key] = (cap, fallback_tiles)
             return idx, d
         cap = min(cap * 4, ncb)

@@ -22,16 +22,30 @@ import typing
 
 
 def init(**kwargs) -> None:
-    """Initialise jax.distributed (no-op when single-process)."""
+    """Initialise jax.distributed (no-op when single-process).
+
+    The already-initialised check must not touch the JAX backends:
+    ``jax.process_count()`` initialises them, after which
+    ``jax.distributed.initialize`` always raises and a multi-host run would
+    silently degrade to N standalone hosts all processing every item. Inspect
+    the distributed client state directly instead.
+    """
     import jax
 
-    if jax.process_count() > 1:
-        return  # already initialised
+    try:
+        from jax._src import distributed
+
+        if distributed.global_state.client is not None:
+            return  # already initialised
+    except (ImportError, AttributeError):
+        pass  # private API moved: fall through and let initialize() decide
     try:
         jax.distributed.initialize(**kwargs)
-    except Exception:
-        # Single-process / no coordinator configured: run standalone.
-        pass
+    except (ValueError, RuntimeError) as e:
+        # No coordinator configured (single-process run): run standalone.
+        from ..utils.logging import get_logger
+
+        get_logger().debug("jax.distributed not initialised (%s); standalone", e)
 
 
 def process_index() -> int:

@@ -294,6 +294,20 @@ def sharded_pair_stats(
     Returns per-frame stats dicts of shape (B,) [or (B, 3) for colour],
     feedable to ops.fused.finalize_stats frame-by-frame.
     """
+    if point_to_plane and d2_mode == "reference":
+        # Reference-mode D2 reads positional normals of the OTHER cloud at
+        # the query's own row (SURVEY Q3); rows beyond n_b hold padding
+        # normals and would silently contaminate d2_sse/d2_max. The
+        # single-chip paths raise on this input; match them here.
+        na_h, nb_h = np.asarray(n_a), np.asarray(n_b)
+        bad = np.nonzero(na_h > nb_h)[0]
+        if bad.size:
+            f = int(bad[0])
+            raise IndexError(
+                "reference D2 mode requires n_origin <= n_reconst per frame "
+                f"(frame {f}: {int(na_h[f])} > {int(nb_h[f])}); "
+                "use d2_mode='pc_error'"
+            )
     optional = {"a_col": a_col, "b_col": b_col, "a_nrm": a_nrm, "b_nrm": b_nrm}
     present = tuple(k for k, v in optional.items() if v is not None)
 

@@ -43,16 +43,16 @@ def test_tiny_clouds_full_pipeline():
     assert d[("GeoMSE", True, True)] <= d[("GeoMSE", True, False)] + 1e-12
 
 
-def test_single_point_cloud_graceful():
-    # The reference would crash (np.min of an empty FLANN result); here a
-    # 1-point cloud's self-NN falls through to a padding sentinel, giving a
-    # huge-but-finite boundary distance instead of an exception.
+def test_single_point_cloud_raises():
+    # Documented contract (README "Input contract"): boundary metrics need a
+    # second point for the self-excluded NN, so a 1-point origin cloud is an
+    # explicit ValueError (the reference crashes inside Open3D instead).
+    import pytest
+
     a = Cloud.from_numpy(np.array([[1.0, 2.0, 3.0]]), dtype=jnp.float64)
     b = Cloud.from_numpy(np.array([[1.5, 2.0, 3.0]]), dtype=jnp.float64)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        d = evaluate_pair(a, b, CalculateOptions()).as_dict()
-    assert d[("GeoMSE", True, False)] == 0.25
-    assert d[("MaxSqrtDistance",)] > 1e8
+    with pytest.raises(ValueError, match="at least 2 points"):
+        evaluate_pair(a, b, CalculateOptions()).as_dict()
 
 
 def test_identical_points_duplicates():
