@@ -171,6 +171,28 @@ class Cloud:
         idx = jnp.arange(self.padded_size)
         return idx < self.n
 
+    def mxu_exact(self) -> bool:
+        """True when MXU expanded-norm distances are bit-exact for this cloud.
+
+        Holds when every valid coordinate is an integer with
+        |coord| <= refine_adaptive.MXU_EXACT_MAX_COORD: then |q|^2, |b|^2,
+        <q,b> and their combinations are integers below 2^24, exact in f32
+        and in the HIGHEST-precision bf16-split MXU matmul. Voxelised
+        clouds (the pc_error workload) qualify; general float clouds use
+        the bit-identical VPU difference-form path. Cached per cloud.
+        """
+        cached = getattr(self, "_mxu_exact", None)
+        if cached is None:
+            from .ops.refine_adaptive import MXU_EXACT_MAX_COORD
+
+            pts = self.valid_points()
+            cached = bool(
+                np.abs(pts).max(initial=0.0) <= MXU_EXACT_MAX_COORD
+                and np.array_equal(pts, np.round(pts))
+            )
+            self._mxu_exact = cached
+        return cached
+
 
 def synthetic_sphere_pair(
     n: int = 10_000,

@@ -54,7 +54,7 @@ def _pair_stats_pruned(
     a_col_sorted=None, b_col_sorted=None,
     a_nrm_sorted=None, b_nrm_sorted=None,
     *, color_scheme, point_to_plane, d2_mode, with_boundary,
-    prune_cap, prune_fallback,
+    prune_cap, prune_fallback, mxu_ok=False,
 ):
     """Pruned-backend body of pair_stats, evaluated in Morton-sorted space.
 
@@ -135,10 +135,12 @@ def _pair_stats_pruned(
         pay1 = split_payload(pr1)
     else:
         d0, i0, ov0 = nn_pruned_sorted(
-            ga, gb, n_a, cap=prune_cap, fallback_tiles=prune_fallback
+            ga, gb, n_a, cap=prune_cap, fallback_tiles=prune_fallback,
+            mxu_ok=mxu_ok,
         )
         d1, i1, ov1 = nn_pruned_sorted(
-            gb, ga, n_b, cap=prune_cap, fallback_tiles=prune_fallback
+            gb, ga, n_b, cap=prune_cap, fallback_tiles=prune_fallback,
+            mxu_ok=mxu_ok,
         )
 
         def gather_payload(pts, col, nrm, idx):
@@ -176,7 +178,7 @@ def _pair_stats_pruned(
     if with_boundary:
         dself, _, ov2 = nn_pruned_sorted(
             ga, ga, n_a, exclude_self=True,
-            cap=prune_cap, fallback_tiles=prune_fallback,
+            cap=prune_cap, fallback_tiles=prune_fallback, mxu_ok=mxu_ok,
         )
         overflows.append(ov2)
         sqrt_self = jnp.sqrt(jnp.maximum(dself, 0.0))
@@ -240,6 +242,7 @@ def _pair_stats_pruned(
         "backend",
         "prune_cap",
         "prune_fallback",
+        "mxu_ok",
     ),
 )
 def pair_stats(
@@ -264,6 +267,7 @@ def pair_stats(
     backend: str = "jnp",
     prune_cap: int = 32,
     prune_fallback: int = 256,
+    mxu_ok: bool = False,
 ) -> typing.Dict[str, jnp.ndarray]:
     """One-pass device-side reductions for the full metric suite.
 
@@ -284,6 +288,7 @@ def pair_stats(
             color_scheme=color_scheme, point_to_plane=point_to_plane,
             d2_mode=d2_mode, with_boundary=with_boundary,
             prune_cap=prune_cap, prune_fallback=prune_fallback,
+            mxu_ok=mxu_ok,
         )
 
     def nn(a, b, exclude_self=False):
@@ -486,6 +491,7 @@ def boundary_stats(cloud, backend: str = "auto"):
             d, _, overflow = nn_pruned_sorted(
                 g, g, jnp.asarray(cloud.n), exclude_self=True,
                 cap=cap, fallback_tiles=fallback,
+                mxu_ok=cloud.mxu_exact(),
             )
             # Exact iff certified, or stage 1 refined every chunk (at which
             # point the certificate cannot fail).
@@ -548,6 +554,8 @@ def fused_evaluate(
             a_nrm_sorted = _sorted_normals(a, a_nrm)
             b_nrm_sorted = _sorted_normals(b, b_nrm)
     self_min, self_max = boundary_stats(a, backend=backend)
+    mxu_ok = (backend == "pruned" and a.points.dtype == jnp.float32
+              and a.mxu_exact() and b.mxu_exact())
     cap, fallback = 32, 256
     while True:
         stats = pair_stats(
@@ -572,6 +580,7 @@ def fused_evaluate(
             backend=backend,
             prune_cap=cap,
             prune_fallback=fallback,
+            mxu_ok=mxu_ok,
         )
         max_chunks = max(a.padded_size, b.padded_size) // 256
         stats = jax.device_get(stats)  # one round-trip: results + overflow

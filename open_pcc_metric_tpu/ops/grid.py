@@ -96,14 +96,21 @@ def bbox_lower_bounds(
 
     lb[i, c] <= ||x - y||^2 for any x in a-box i, y in b-box c.
     """
-    gap = jnp.maximum(
-        0.0,
-        jnp.maximum(
-            a_lo[:, None, :] - b_hi[None, :, :],
-            b_lo[None, :, :] - a_hi[:, None, :],
-        ),
-    )
-    return jnp.sum(gap * gap, axis=-1)
+    # Per-coordinate 2D broadcasts: XLA materialises only (na, nb) f32
+    # temporaries instead of (na, nb, 3) ones — ~3x less HBM traffic on the
+    # hot (tiles x chunks) bound matrix.
+    out = None
+    for k in range(3):
+        gap = jnp.maximum(
+            0.0,
+            jnp.maximum(
+                a_lo[:, None, k] - b_hi[None, :, k],
+                b_lo[None, :, k] - a_hi[:, None, k],
+            ),
+        )
+        sq = gap * gap
+        out = sq if out is None else out + sq
+    return out
 
 
 # Sentinel rows carry the lattice-corner code (all three 10-bit axes maxed).

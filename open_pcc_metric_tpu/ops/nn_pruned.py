@@ -58,19 +58,157 @@ def _pick_batch(n: int, preferred: int = 32) -> int:
 
 
 def _resolve_refine_impl(impl: str, dtype) -> str:
+    if impl == "auto":
+        import os
+
+        impl = os.environ.get("PCC_REFINE_IMPL", "auto")
     if impl != "auto":
         return impl
-    # The transposed-layout kernel (queries across lanes, so the running-best
-    # updates are full-lane-width) beats the XLA refine; the straight-layout
-    # kernel did not (single-lane (256,1) select chains).
     if jax.default_backend() == "tpu" and dtype == jnp.float32:
-        return "pallas"
+        # Certificate-driven adaptive refinement (refine_adaptive.py): probe
+        # + skip-enabled prefix refine + exact tail pass. ~5x less work than
+        # the fixed-cap stage-1/stage-2 ladder on voxel workloads.
+        return "adaptive"
     return "xla"
+
+
+def _tile_lower_bounds(ga: ChunkGrid, gb: ChunkGrid, n_a, nta: int):
+    """(valid_t, lb): query-tile validity mask + (nta, ncb) bbox lower bounds."""
+    dtype = ga.points.dtype
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    a_tiles = ga.points.reshape(nta, CHUNK, 3)
+    valid_t = (jnp.arange(nta * CHUNK) < n_a).reshape(nta, CHUNK)
+    a_lo = jnp.min(jnp.where(valid_t[:, :, None], a_tiles, big), axis=1)
+    a_hi = jnp.max(jnp.where(valid_t[:, :, None], a_tiles, -big), axis=1)
+    return valid_t, bbox_lower_bounds(a_lo, a_hi, gb.bbox_lo, gb.bbox_hi)
+
+
+def _ub_counts(d, valid_t, lb, eps):
+    """Certificate pieces: per-tile sound ub + qualifying chunk count."""
+    ub = jnp.max(jnp.where(valid_t, d, -jnp.inf), axis=1)
+    ub_eff = ub * (1 + 8 * eps) + 8 * eps
+    counts = jnp.sum(lb <= ub_eff[:, None], axis=1).astype(jnp.int32)
+    return counts
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("exclude_self", "cap", "fallback_tiles", "refine_impl"),
+    static_argnames=("exclude_self", "cap", "ft3", "p1", "interpret"),
+)
+def nn_pruned_adaptive_sorted(
+    ga: ChunkGrid,
+    gb: ChunkGrid,
+    n_a: jnp.ndarray,
+    exclude_self: bool = False,
+    cap: int = 64,
+    ft3: int = 64,
+    p1: int = 8,
+    interpret: bool = False,
+) -> typing.Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Certificate-driven adaptive 1-NN (see ops/refine_adaptive.py).
+
+    Same contract as nn_pruned_sorted: ``(dist_sq, idx_into_ORIGINAL_b,
+    overflow)`` in Morton-sorted query order. Work per tile adapts to its
+    actual qualifying-chunk count instead of a fixed cap; results are exact
+    whenever ``overflow`` is False (the only overflow source is more than
+    ``ft3`` tail tiles, which escalates in the callers).
+
+    EXACTNESS GATE: callers must only dispatch here for integer clouds
+    (cloud.Cloud.mxu_exact) — the kernel's MXU expanded-norm distances are
+    bit-exact exactly then. nn_pruned_sorted enforces this via ``mxu_ok``.
+    """
+    from .refine_adaptive import (
+        adaptive_refine, pack_candidates, pack_queries,
+    )
+
+    dtype = ga.points.dtype
+    if dtype != jnp.float32:
+        raise ValueError("adaptive refinement is float32-only")
+    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    nta = ga.points.shape[0] // CHUNK
+    ncb = gb.n_chunks
+    cap = min(cap, ncb)
+    p1 = min(p1, cap)
+
+    valid_t, lb = _tile_lower_bounds(ga, gb, n_a, nta)
+
+    qhat = pack_queries(ga.points)
+    bhat = pack_candidates(gb.points, gb.perm)
+
+    _, cand = jax.lax.top_k(-lb, cap)  # lb-ascending candidate prefix
+    cand = cand.astype(jnp.int32)
+
+    nta_pad = ((nta + 7) // 8) * 8
+    pad = nta_pad - nta
+
+    def padrows(x, value=0):
+        if pad == 0:
+            return x
+        widths = ((0, pad),) + ((0, 0),) * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=value)
+
+    tids = padrows(jnp.arange(nta, dtype=jnp.int32))
+    cand_p = padrows(cand)
+
+    # P1: probe the top-p1 chunks -> sound per-tile ub.
+    ncand1 = padrows(jnp.full((nta,), p1, jnp.int32))
+    d1, i1 = adaptive_refine(
+        qhat, bhat, cand_p[:, :p1], ncand1, tids,
+        exclude_self=exclude_self, interpret=interpret,
+    )
+    count1 = _ub_counts(d1[:nta], valid_t, lb, eps)
+
+    # P2: extend each tile's refined prefix to min(count1, cap), skipping
+    # slots beyond it. Tiles with count1 <= cap are exact by construction.
+    if cap > p1:
+        ncand2 = padrows(
+            jnp.clip(jnp.minimum(count1, cap) - p1, 0, cap - p1)
+        )
+        d2, i2 = adaptive_refine(
+            qhat, bhat, cand_p[:, p1:cap], ncand2, tids,
+            init=(d1, i1),
+            exclude_self=exclude_self, interpret=interpret,
+        )
+    else:
+        d2, i2 = d1, i1
+    d2v, i2v = d2[:nta], i2[:nta]
+    count2 = _ub_counts(d2v, valid_t, lb, eps)
+
+    # P3: tiles still over cap (wide octant-straddling bboxes) re-refine
+    # against the FULL lb-ascending chunk order, executing count2 slots.
+    # Unconditionally exact; only the ft3 tile budget can overflow.
+    ft = min(ft3, nta)
+    is_tail = count2 > cap
+    overflow = jnp.sum(is_tail) > ft
+    if ft > 0 and cap < ncb:
+        ft_pad = ((ft + 7) // 8) * 8
+        _, otiles = jax.lax.top_k(jnp.where(is_tail, count2, 0), ft)
+        otiles = otiles.astype(jnp.int32)
+        ncand3 = jnp.where(is_tail[otiles], count2[otiles], 0)
+        order = jnp.argsort(lb[otiles], axis=1).astype(jnp.int32)
+
+        def padft(x, value=0):
+            if ft_pad == ft:
+                return x
+            widths = ((0, ft_pad - ft),) + ((0, 0),) * (x.ndim - 1)
+            return jnp.pad(x, widths, constant_values=value)
+
+        d3, i3 = adaptive_refine(
+            qhat, bhat, padft(order), padft(ncand3),
+            padft(otiles),
+            exclude_self=exclude_self, interpret=interpret,
+        )
+        take = (ncand3 > 0)[:, None]
+        d2v = d2v.at[otiles].set(jnp.where(take, d3[:ft], d2v[otiles]))
+        i2v = i2v.at[otiles].set(jnp.where(take, i3[:ft], i2v[otiles]))
+
+    return d2v.reshape(nta * CHUNK), i2v.reshape(nta * CHUNK), overflow
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("exclude_self", "cap", "fallback_tiles", "refine_impl",
+                     "mxu_ok"),
 )
 def nn_pruned_sorted(
     ga: ChunkGrid,
@@ -80,6 +218,7 @@ def nn_pruned_sorted(
     cap: int = 32,
     fallback_tiles: int = 128,
     refine_impl: str = "auto",
+    mxu_ok: bool = False,
 ) -> typing.Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """1-NN in Morton-sorted order.
 
@@ -90,8 +229,25 @@ def nn_pruned_sorted(
 
     Returns ``(dist_sq, idx_into_ORIGINAL_b, overflow)``. Sentinel query rows
     return meaningless (finite) distances — callers mask by row < n_a.
+
+    ``mxu_ok`` asserts the integer-exactness property of BOTH clouds
+    (cloud.Cloud.mxu_exact) so the adaptive path may use MXU distances;
+    results are bit-identical either way.
     """
     dtype = ga.points.dtype
+    impl0 = _resolve_refine_impl(refine_impl, dtype)
+    if impl0 in ("adaptive", "adaptive_interpret") and mxu_ok:
+        # The caller escalation ladder maps onto the adaptive knobs: cap
+        # bounds the P2 prefix, fallback_tiles the P3 tail-tile budget.
+        # Non-gated (float) clouds fall through to the legacy kernels.
+        return nn_pruned_adaptive_sorted(
+            ga, gb, n_a, exclude_self=exclude_self,
+            cap=max(64, cap), ft3=max(64, fallback_tiles // 4),
+            interpret=(impl0 == "adaptive_interpret"),
+        )
+    if impl0 in ("adaptive", "adaptive_interpret"):
+        # Non-gated clouds: legacy fixed-cap kernels.
+        refine_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
     nta = ga.points.shape[0] // CHUNK
