@@ -65,10 +65,13 @@ def _resolve_refine_impl(impl: str, dtype) -> str:
     if impl != "auto":
         return impl
     if jax.default_backend() == "tpu" and dtype == jnp.float32:
-        # Certificate-driven adaptive refinement (refine_adaptive.py): probe
-        # + skip-enabled prefix refine + exact tail pass. ~5x less work than
-        # the fixed-cap stage-1/stage-2 ladder on voxel workloads.
-        return "adaptive"
+        # The fixed-cap transposed-layout kernel remains the default: the
+        # certificate-driven adaptive path (refine_adaptive.py) does ~5x less
+        # refinement WORK but its serial in-kernel slot loop costs more
+        # per-chunk-pair OVERHEAD, and measured end-to-end on the 800k bench
+        # it is 1.7x slower (3.3 vs 5.7 Mpts/s). It stays opt-in via
+        # PCC_REFINE_IMPL=adaptive until a lower-overhead schedule wins.
+        return "pallas"
     return "xla"
 
 

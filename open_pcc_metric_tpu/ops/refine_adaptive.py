@@ -187,7 +187,7 @@ def _refine_group(qhat, bhat, cand, ncand, tids, init,
 
     in_specs = (
         [q_spec(t) for t in range(_TT)]
-        + [pl.BlockSpec(memory_space=pltpu.ANY)]  # bhat stays in HBM
+        + [pl.BlockSpec(memory_space=pl.ANY)]  # bhat stays in HBM
     )
     operands = [qhat] * _TT + [bhat]
     if has_init:

@@ -375,8 +375,8 @@ def _nn_group_fused(qt8_g, tbase, bt8, borig, cand_g, exclude_self,
         grid=(gt,),
         in_specs=[
             pl.BlockSpec((8, CHUNK), lambda i, cand, off: (0, i)),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # bt8 stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # borig stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # bt8 stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # borig stays in HBM
         ],
         out_specs=[
             pl.BlockSpec((CHUNK, 1), lambda i, cand, off: (i, 0)),

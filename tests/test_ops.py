@@ -1,4 +1,5 @@
 """Kernel-vs-numpy-oracle equivalence tests (SURVEY §4c)."""
+import os
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -198,6 +199,42 @@ class TestOBB:
         pts = np.array([[0.0, 0, 0], [1, 0, 0], [0, 1, 0]])
         ext = minimal_obb_extent(pts)
         assert ext.shape == (3,)
+
+
+# -------------------------- Open3D golden fixtures (optional, see docs/
+# OBB_DERIVATION.md): generated by tools/make_o3d_goldens.py in an
+# environment where open3d installs; skipped when the file is absent.
+_GOLDENS = os.path.join(os.path.dirname(__file__), "goldens",
+                        "o3d_goldens.json")
+
+
+@pytest.mark.skipif(not os.path.exists(_GOLDENS),
+                    reason="no Open3D golden fixtures (see "
+                           "docs/open3d_install_attempt.log)")
+def test_open3d_goldens():
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "make_o3d_goldens",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "make_o3d_goldens.py"))
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    with open(_GOLDENS) as f:
+        goldens = json.load(f)
+    for rec in goldens["clouds"]:
+        pts = gen.golden_cloud(rec["seed"], goldens["n"])
+        # Minimal-OBB extent: compare as sorted triples (frame order is
+        # qhull-enumeration-dependent; the metric uses only max(extent)).
+        ext = np.sort(minimal_obb_extent(pts))
+        np.testing.assert_allclose(
+            ext, np.sort(np.asarray(rec["obb_extent_sorted"])), rtol=1e-6)
+        # Normals: sign-invariant comparison (unoriented on both sides).
+        ours = np.asarray(estimate_normals(jnp.asarray(pts, jnp.float32)))
+        theirs = np.asarray(rec["normals"])
+        dot = np.abs(np.sum(ours * theirs, axis=1))
+        assert np.quantile(dot, 0.01) > 0.999
 
 
 def test_stable_sum_accuracy():
