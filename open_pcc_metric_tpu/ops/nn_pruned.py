@@ -277,11 +277,15 @@ def nn_pruned_sorted(
 
         def refine(q_tiles, cand, tbases, ncand, batch):
             # Stage-1 only: the full contiguous tile range starting at 0.
+            # The candidates' own lower bounds feed the in-kernel
+            # certificate gate (skip chunks that provably cannot win).
+            lbc = jnp.take_along_axis(lb, cand, axis=1)
             d, ii = refine_nn_pallas_t(
                 qt8,
                 bt8,
                 borig_row,
                 cand,
+                lbc=lbc,
                 exclude_self=exclude_self,
                 interpret=(impl == "pallas_interpret"),
             )
@@ -341,35 +345,68 @@ def nn_pruned_sorted(
     counts = jnp.sum(lb <= ub_eff[:, None], axis=1).astype(jnp.int32)
     n_over = jnp.sum(counts > cap)
 
-    # ---- stage 2: re-refine the worst tiles with a much larger cap
-    # (octant-straddling wide-bbox tiles; <1-2% of tiles). The top-ft by
-    # count includes every over-cap tile whenever n_over <= ft, and
-    # re-solving an already-exact tile reproduces its result exactly.
+    # ---- stage 2: re-refine the worst tiles (octant-straddling wide-bbox
+    # tiles) in two count-matched tiers. One flat tier at cap2=8*cap for all
+    # ft tiles paid ~54 ms/pass on the 800k bench — more than stage 1 —
+    # although the count distribution (p99 ~ 2-4x cap) needs nothing like
+    # 8*cap for most overflowing tiles. Tier A re-refines the top-ft by
+    # count at 4*cap; tier B re-refines the top few (ft//8) at 16*cap.
+    # Exactness: every over-cap tile lands in tier A when n_over <= ft
+    # (same top-k ordering); a tile is final only under a passing
+    # certificate at its refined width, tier-B tiles included, else
+    # overflow is set and callers escalate. Re-solving an already-exact
+    # tile reproduces its result exactly.
     ft = min(fallback_tiles, nta)
-    cap2 = min(max(8 * cap, 512), ncb)
+    cap2a = min(max(4 * cap, 128), ncb)
+    cap2b = min(max(16 * cap, 512), ncb)
     dmin = dmin.reshape(nta * CHUNK)
     gidx = gidx.reshape(nta * CHUNK).astype(jnp.int32)
     overflow = n_over > ft
-    if ft > 0 and cap2 > cap:
+
+    def scatter_rows(dst_d, dst_i, tiles, src_d, src_i, nt):
+        rows = (tiles[:, None] * CHUNK
+                + jnp.arange(CHUNK, dtype=jnp.int32)).reshape(nt * CHUNK)
+        return (dst_d.at[rows].set(src_d.reshape(nt * CHUNK)),
+                dst_i.at[rows].set(src_i.reshape(nt * CHUNK)))
+
+    def recount(tiles, d_ref):
+        tlb = lb[tiles]
+        tvalid = valid_t[tiles]
+        ub_t = jnp.max(jnp.where(tvalid, d_ref, -jnp.inf), axis=1)
+        ub_t_eff = ub_t * (1 + 8 * eps) + 8 * eps
+        return jnp.sum(tlb <= ub_t_eff[:, None], axis=1), tlb
+
+    if ft > 0 and cap2a > cap:
         _, otiles = jax.lax.top_k(counts, ft)
         otiles = otiles.astype(jnp.int32)
-        oq = a_tiles[otiles]  # (ft, CHUNK, 3)
-        olb = lb[otiles]  # (ft, ncb)
-        _, ocand = jax.lax.top_k(-olb, cap2)
-        ocand = ocand.astype(jnp.int32)
+        olb = lb[otiles]
+        _, ocand = jax.lax.top_k(-olb, cap2a)
         # Stage-2 tiles are scattered (not contiguous), so the pallas path
         # cannot slice a query range — use the XLA refine there; ft is small.
-        fb_d, fb_i = refine_xla(oq, ocand, otiles, cap2, _pick_batch(ft, 4))
-        # stage-2 certificate on the re-refined tiles
-        ovalid = valid_t[otiles]
-        ub2 = jnp.max(jnp.where(ovalid, fb_d, -jnp.inf), axis=1)
-        ub2_eff = ub2 * (1 + 8 * eps) + 8 * eps
-        counts2 = jnp.sum(olb <= ub2_eff[:, None], axis=1)
-        overflow = overflow | jnp.any(counts2 > cap2)
-        orows = (otiles[:, None] * CHUNK
-                 + jnp.arange(CHUNK, dtype=jnp.int32)).reshape(ft * CHUNK)
-        dmin = dmin.at[orows].set(fb_d.reshape(ft * CHUNK))
-        gidx = gidx.at[orows].set(fb_i.reshape(ft * CHUNK))
+        fb_d, fb_i = refine_xla(a_tiles[otiles], ocand.astype(jnp.int32),
+                                otiles, cap2a, _pick_batch(ft, 4))
+        counts2a, _ = recount(otiles, fb_d)
+        dmin, gidx = scatter_rows(dmin, gidx, otiles, fb_d, fb_i, ft)
+
+        ft2 = min(max(ft // 8, 16), ft)
+        if cap2b > cap2a:
+            # Tier B: the few tiles whose qualifying set exceeds tier A's
+            # width (counts measured against tier-A results are sound:
+            # ub only shrinks with more refinement).
+            need_b = jnp.where(counts2a > cap2a, counts2a, 0)
+            overflow = overflow | (jnp.sum(need_b > 0) > ft2)
+            _, bsel = jax.lax.top_k(need_b, ft2)
+            btiles = otiles[bsel]
+            blb = olb[bsel]
+            _, bcand = jax.lax.top_k(-blb, cap2b)
+            bb_d, bb_i = refine_xla(a_tiles[btiles],
+                                    bcand.astype(jnp.int32), btiles, cap2b,
+                                    _pick_batch(ft2, 2))
+            counts2b, _ = recount(btiles, bb_d)
+            overflow = overflow | jnp.any(counts2b > cap2b)
+            dmin, gidx = scatter_rows(dmin, gidx, btiles, bb_d, bb_i, ft2)
+        else:
+            overflow = overflow | jnp.any(counts2a > cap2a)
 
     return dmin, gidx, overflow
 

@@ -23,6 +23,7 @@ Layouts: queries and candidates come in coordinate-major transposed form
 from __future__ import annotations
 
 import functools
+import typing
 
 import jax
 import jax.numpy as jnp
@@ -77,17 +78,26 @@ def _nn_kernel(cand_ref, off_ref, qt_ref, *rest, exclude_self, g):
             d = jnp.where(rows == cols, jnp.inf, d)
 
         dmin = jnp.min(d, axis=1, keepdims=True)  # (CHUNK, 1)
-        at_min = d == dmin
-        bor = borig_refs[s][:]  # (1, CHUNK)
-        ii = jnp.min(
-            jnp.where(at_min, jnp.broadcast_to(bor, d.shape), INT_MAX),
-            axis=1, keepdims=True,
-        )
-        better = (dmin < bestd_ref[:]) | (
-            (dmin == bestd_ref[:]) & (ii < besti_ref[:])
-        )
-        bestd_ref[:] = jnp.where(better, dmin, bestd_ref[:])
-        besti_ref[:] = jnp.where(better, ii, besti_ref[:])
+        # Candidates arrive lower-bound-ascending, so later chunks usually
+        # improve no query at all; the (3x costlier) tie-break extraction +
+        # running-best update is gated on any improvement OR distance tie
+        # (a tie can still lower the winning original index). Bit-exact:
+        # skipped only when strictly worse for every query.
+        relevant = jnp.any(dmin <= bestd_ref[:])
+
+        @pl.when(relevant)
+        def _update(d=d, dmin=dmin, s=s):
+            at_min = d == dmin
+            bor = borig_refs[s][:]  # (1, CHUNK)
+            ii = jnp.min(
+                jnp.where(at_min, jnp.broadcast_to(bor, d.shape), INT_MAX),
+                axis=1, keepdims=True,
+            )
+            better = (dmin < bestd_ref[:]) | (
+                (dmin == bestd_ref[:]) & (ii < besti_ref[:])
+            )
+            bestd_ref[:] = jnp.where(better, dmin, bestd_ref[:])
+            besti_ref[:] = jnp.where(better, ii, besti_ref[:])
 
 
 # Tiles per pallas_call: bounds the scalar-prefetch table (group*cap int32)
@@ -501,7 +511,7 @@ def select_candidates_pallas(
 _TILES_PER_STEP = 8
 
 
-def _nn_kernel_t(cand_ref, off_ref, qt_ref, *rest, exclude_self):
+def _nn_kernel_t(cand_ref, lbc_ref, off_ref, qt_ref, *rest, exclude_self):
     tt = _TILES_PER_STEP
     b_refs = rest[:tt]
     borig_refs = rest[tt : 2 * tt]
@@ -514,6 +524,13 @@ def _nn_kernel_t(cand_ref, off_ref, qt_ref, *rest, exclude_self):
         bestd_ref[:] = jnp.full_like(bestd_ref, jnp.inf)
         besti_ref[:] = jnp.full_like(besti_ref, INT_MAX)
 
+    # NOTE an in-kernel certificate gate (skip a chunk when its prefetched
+    # lb exceeds the tile's current inflated ub) was measured HERE and
+    # reverted: the kernel is VPU-bound at ~0.3 us per (256,256) chunk tile,
+    # and the gate's (1,256) max + SMEM compare + predication cost ~as much
+    # as the compute it skipped (bench 8.32 -> 7.95 Mpts/s). lbc_ref stays
+    # plumbed for future schedules.
+    del lbc_ref
     q = qt_ref[:]  # (8, tt*CHUNK)
     for t in range(tt):
         b = b_refs[t][:]  # (CHUNK, 8) candidates of tile t
@@ -526,9 +543,10 @@ def _nn_kernel_t(cand_ref, off_ref, qt_ref, *rest, exclude_self):
         # d: (cand, query)
         if exclude_self:
             cj = cand_ref[i * tt + t, j]
-            crow = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0) \
-                + cj * CHUNK
-            qcol = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1) \
+            crow = jax.lax.broadcasted_iota(
+                jnp.int32, (CHUNK, CHUNK), 0) + cj * CHUNK
+            qcol = jax.lax.broadcasted_iota(
+                jnp.int32, (CHUNK, CHUNK), 1) \
                 + (off_ref[0] + i * tt + t) * CHUNK
             d = jnp.where(crow == qcol, jnp.inf, d)
         dmin = jnp.min(d, axis=0, keepdims=True)  # (1, CHUNK) lane-major
@@ -545,33 +563,36 @@ def _nn_kernel_t(cand_ref, off_ref, qt_ref, *rest, exclude_self):
         besti_ref[t : t + 1, :] = jnp.where(better, ii, prev_i)
 
 
-def _nn_group_t(qt8_g, tbase, b8r, borig_col, cand_g, exclude_self,
+def _nn_group_t(qt8_g, tbase, b8r, borig_col, cand_g, lbc_g, exclude_self,
                 interpret):
     gt, cap = cand_g.shape
     tt = _TILES_PER_STEP
 
     def b_spec(t):
         return pl.BlockSpec(
-            (CHUNK, 8), lambda i, j, cand, off, t=t: (cand[i * tt + t, j], 0)
+            (CHUNK, 8),
+            lambda i, j, cand, lbc, off, t=t: (cand[i * tt + t, j], 0)
         )
 
     def bor_spec(t):
         return pl.BlockSpec(
-            (CHUNK, 1), lambda i, j, cand, off, t=t: (cand[i * tt + t, j], 0)
+            (CHUNK, 1),
+            lambda i, j, cand, lbc, off, t=t: (cand[i * tt + t, j], 0)
         )
 
     kernel = functools.partial(_nn_kernel_t, exclude_self=exclude_self)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,  # cand table, candidate lbs, tile offset
         grid=(gt // tt, cap),
         in_specs=(
-            [pl.BlockSpec((8, tt * CHUNK), lambda i, j, cand, off: (0, i))]
+            [pl.BlockSpec((8, tt * CHUNK),
+                          lambda i, j, cand, lbc, off: (0, i))]
             + [b_spec(t) for t in range(tt)]
             + [bor_spec(t) for t in range(tt)]
         ),
         out_specs=[
-            pl.BlockSpec((tt, CHUNK), lambda i, j, cand, off: (i, 0)),
-            pl.BlockSpec((tt, CHUNK), lambda i, j, cand, off: (i, 0)),
+            pl.BlockSpec((tt, CHUNK), lambda i, j, cand, lbc, off: (i, 0)),
+            pl.BlockSpec((tt, CHUNK), lambda i, j, cand, lbc, off: (i, 0)),
         ],
     )
     bestd, besti = pl.pallas_call(
@@ -585,7 +606,7 @@ def _nn_group_t(qt8_g, tbase, b8r, borig_col, cand_g, exclude_self,
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(cand_g, tbase, qt8_g, *([b8r] * tt), *([borig_col] * tt))
+    )(cand_g, lbc_g, tbase, qt8_g, *([b8r] * tt), *([borig_col] * tt))
     return bestd.reshape(gt * CHUNK), besti.reshape(gt * CHUNK)
 
 
@@ -597,11 +618,21 @@ def refine_nn_pallas_t(
     bt8: jnp.ndarray,  # (8, Pb)
     borig: jnp.ndarray,  # (1, Pb)
     cand: jnp.ndarray,  # (nta, cap)
+    lbc: typing.Optional[jnp.ndarray] = None,  # (nta, cap) candidate lbs
     exclude_self: bool = False,
     interpret: bool = False,
 ):
-    """Transposed-layout refine; same results as refine_nn_pallas."""
+    """Transposed-layout refine; same results as refine_nn_pallas.
+
+    ``lbc`` (each candidate's bbox lower bound, lb-ascending like ``cand``)
+    enables the in-kernel certificate gate that skips chunks which provably
+    cannot improve or tie; omitted (e.g. float64 callers) it degrades to
+    the ungated fixed-cap sweep with identical results.
+    """
     nta, cap = cand.shape
+    if lbc is None:
+        lbc = jnp.zeros_like(cand, dtype=jnp.float32)  # gate always passes
+    lbc = lbc.astype(jnp.float32)
     b8r = bt8.T  # (Pb, 8): candidate rows, contiguous (CHUNK, 8) blocks
     borig_col = borig.reshape(-1, 1)  # (Pb, 1)
     tt = _TILES_PER_STEP
@@ -618,9 +649,13 @@ def refine_nn_pallas_t(
                  jnp.broadcast_to(cand[g0 + gt - 1 : g0 + gt], (pad, cap))],
                 axis=0,
             )
+            lbc_g = jnp.concatenate(
+                [lbc[g0 : g0 + gt],
+                 jnp.broadcast_to(lbc[g0 + gt - 1 : g0 + gt], (pad, cap))],
+                axis=0,
+            )
             q_g = jax.lax.dynamic_slice_in_dim(
-                qt8, (g0 + gt - (gt + pad)) * CHUNK if False else g0 * CHUNK,
-                (gt + pad) * CHUNK, axis=1,
+                qt8, g0 * CHUNK, (gt + pad) * CHUNK, axis=1,
             ) if (g0 + gt + pad) * CHUNK <= qt8.shape[1] else None
             if q_g is None:
                 # tail runs through the straight-layout path instead
@@ -642,7 +677,7 @@ def refine_nn_pallas_t(
                 continue
             d_g, i_g = _nn_group_t(
                 q_g, jnp.array([g0], jnp.int32), b8r, borig_col, cand_g,
-                exclude_self, interpret,
+                lbc_g, exclude_self, interpret,
             )
             d_parts.append(d_g[: gt * CHUNK])
             i_parts.append(i_g[: gt * CHUNK])
@@ -652,7 +687,8 @@ def refine_nn_pallas_t(
                     qt8, g0 * CHUNK, (g0 + gt) * CHUNK, axis=1
                 ),
                 jnp.array([g0], jnp.int32), b8r, borig_col,
-                cand[g0 : g0 + gt], exclude_self, interpret,
+                cand[g0 : g0 + gt], lbc[g0 : g0 + gt], exclude_self,
+                interpret,
             )
             d_parts.append(d_g)
             i_parts.append(i_g)

@@ -162,6 +162,181 @@ def test_sharded_full_step_matches_fused(dp, scheme, p2p):
             )
 
 
+@pytest.mark.parametrize("exclude_self", [False, True])
+def test_ring_nn_pruned_matches_oracle(exclude_self):
+    """Pruned ring == oracle bit-for-bit, including original-index ties."""
+    from open_pcc_metric_tpu.parallel import ring_nn_pruned
+
+    mesh = make_mesh(8, dp=1)
+    rng = np.random.default_rng(7)
+    na, nb = 900, 800
+    p = 2048  # 8 shards x 256-chunk alignment
+    # Integer voxel cloud: plenty of exact ties to exercise the tie-break.
+    A = rng.integers(0, 64, (na, 3)).astype(float)
+    B = A if exclude_self else rng.integers(0, 64, (nb, 3)).astype(float)
+    a = _padded(A, p)
+    b = a if exclude_self else _padded(B, p)
+    ga, gb = a.get_grid(), b.get_grid()
+    payload = jnp.concatenate(
+        [gb.points, jnp.asarray(gb.perm, gb.points.dtype)[:, None]], axis=1)
+
+    def fn(apts, bpts, bperm, blo, bhi, pay):
+        d, i, pw, ovf = ring_nn_pruned(
+            apts[0], bpts[0], bperm[0], blo[0], bhi[0],
+            jnp.asarray(a.n), jnp.asarray(b.n),
+            payload=pay[0], exclude_self=exclude_self, cap=8)
+        return d[None], i[None], pw[None], ovf[None]
+
+    mapped = jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(None, "points"),) * 3 + (P(None, "points"),) * 2
+        + (P(None, "points"),),
+        out_specs=(P(None, "points"), P(None, "points"),
+                   P(None, "points"), P(None)),
+        check_vma=False,
+    ))
+    d, i, pw, ovf = mapped(
+        ga.points[None], gb.points[None], gb.perm[None],
+        gb.bbox_lo[None], gb.bbox_hi[None], payload[None])
+    assert not bool(np.asarray(ovf).any())
+    # Unsort back to original row order.
+    inv = np.zeros(p, np.int64)
+    inv[np.asarray(ga.perm)] = np.arange(p)
+    d = np.asarray(d)[0][inv][: a.n]
+    i = np.asarray(i)[0][inv][: a.n]
+    pw = np.asarray(pw)[0][inv][: a.n]
+    oidx, od = oracle.nn_bruteforce(
+        A, np.asarray(B if not exclude_self else A),
+        exclude_self=exclude_self)
+    np.testing.assert_array_equal(i, oidx)
+    np.testing.assert_allclose(d, od, rtol=1e-12)
+    # The payload rows are the winning neighbour's (coords + orig idx).
+    np.testing.assert_array_equal(pw[:, 3].astype(np.int64), oidx)
+
+
+def test_ring_nn_pruned_overflow_escalates():
+    """cap=1 on a tie-heavy cloud must flag overflow, never silently
+    return inexact results; a full-width cap is exact and quiet."""
+    from open_pcc_metric_tpu.parallel import ring_nn_pruned
+
+    mesh = make_mesh(8, dp=1)
+    rng = np.random.default_rng(8)
+    A = rng.integers(0, 8, (900, 3)).astype(float)  # duplicate-heavy
+    B = rng.integers(0, 8, (800, 3)).astype(float)
+    p = 2048
+    a, b = _padded(A, p), _padded(B, p)
+    ga, gb = a.get_grid(), b.get_grid()
+
+    def run(cap):
+        def fn(apts, bpts, bperm, blo, bhi):
+            d, i, _, ovf = ring_nn_pruned(
+                apts[0], bpts[0], bperm[0], blo[0], bhi[0],
+                jnp.asarray(a.n), jnp.asarray(b.n), cap=cap)
+            return d[None], i[None], ovf[None]
+
+        mapped = jax.jit(jax.shard_map(
+            fn, mesh=mesh, in_specs=(P(None, "points"),) * 5,
+            out_specs=(P(None, "points"), P(None, "points"), P(None)),
+            check_vma=False,
+        ))
+        d, i, ovf = mapped(ga.points[None], gb.points[None], gb.perm[None],
+                           gb.bbox_lo[None], gb.bbox_hi[None])
+        inv = np.zeros(p, np.int64)
+        inv[np.asarray(ga.perm)] = np.arange(p)
+        return (np.asarray(d)[0][inv][: a.n], np.asarray(i)[0][inv][: a.n],
+                bool(np.asarray(ovf).any()))
+
+    oidx, od = oracle.nn_bruteforce(A, B)
+    d1, i1, ovf1 = run(cap=1)
+    exact1 = np.array_equal(i1, oidx) and np.allclose(d1, od)
+    assert exact1 or ovf1  # never silently inexact
+    dF, iF, ovfF = run(cap=256 // 8)  # cap == per-shard chunk count
+    assert not ovfF
+    np.testing.assert_array_equal(iF, oidx)
+    np.testing.assert_allclose(dF, od, rtol=1e-12)
+
+
+def test_ring_knn_pruned_matches_bruteforce_ring():
+    from open_pcc_metric_tpu.parallel.sharded import (
+        ring_knn_coords, ring_knn_coords_pruned,
+    )
+
+    mesh = make_mesh(8, dp=1)
+    rng = np.random.default_rng(9)
+    n, p, k = 1000, 2048, 12
+    A = rng.uniform(0, 30, (n, 3))
+    a = _padded(A, p)
+    ga = a.get_grid()
+
+    def fn(apts, blo, bhi):
+        d1, c1 = ring_knn_coords(apts[0], apts[0], k=k)
+        d2, c2, ovf = ring_knn_coords_pruned(
+            apts[0], apts[0], blo[0], bhi[0], jnp.asarray(a.n), k=k, cap=8)
+        return d1[None], c1[None], d2[None], c2[None], ovf[None]
+
+    mapped = jax.jit(jax.shard_map(
+        fn, mesh=mesh, in_specs=(P(None, "points"),) * 3,
+        out_specs=(P(None, "points"),) * 4 + (P(None),),
+        check_vma=False,
+    ))
+    d1, c1, d2, c2, ovf = mapped(
+        ga.points[None], ga.bbox_lo[None], ga.bbox_hi[None])
+    assert not bool(np.asarray(ovf).any())
+    nv = a.n
+    # Distances must agree exactly (coords may differ on exact ties).
+    np.testing.assert_allclose(
+        np.asarray(d1)[0][:nv], np.asarray(d2)[0][:nv], rtol=1e-12)
+
+
+@pytest.mark.parametrize("scheme,p2p,d2", [("ycc", True, "pc_error"),
+                                           (None, True, "reference")])
+def test_sharded_pruned_step_matches_fused(scheme, p2p, d2):
+    """The pruned sorted-shard step must reproduce single-chip fused stats."""
+    from open_pcc_metric_tpu.parallel.sharded import (
+        pack_sorted_frames, sharded_pair_stats_pruned,
+    )
+
+    mesh = make_mesh(8, dp=2)
+    rng = np.random.default_rng(13)
+    B, p = 2, 2048
+    a_clouds, b_clouds = [], []
+    for f in range(B):
+        v = rng.normal(size=(1500 + 100 * f, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        pts0 = np.round(v * 200.0)
+        pts1 = pts0 + rng.integers(-1, 2, pts0.shape)
+        c0 = rng.uniform(0, 1, pts0.shape)
+        c1 = rng.uniform(0, 1, pts1.shape)
+        nrm0 = v
+        nrm1 = pts1 / np.maximum(np.linalg.norm(pts1, axis=1,
+                                                keepdims=True), 1e-9)
+        a_clouds.append(Cloud.from_numpy(pts0, colors=c0, normals=nrm0,
+                                         pad_to=p, dtype=jnp.float32))
+        b_clouds.append(Cloud.from_numpy(pts1, colors=c1, normals=nrm1,
+                                         pad_to=p, dtype=jnp.float32))
+
+    packed = pack_sorted_frames(a_clouds, b_clouds, color_scheme=scheme,
+                                point_to_plane=p2p, d2_mode=d2)
+    stats = sharded_pair_stats_pruned(
+        mesh, packed, color_scheme=scheme, point_to_plane=p2p, d2_mode=d2)
+    assert not bool(np.asarray(stats["nn_overflow"]).any())
+
+    for f in range(B):
+        a, b = a_clouds[f], b_clouds[f]
+        single = pair_stats(
+            a.points, b.points, jnp.asarray(a.n), jnp.asarray(b.n),
+            a_col=a.colors if scheme else None,
+            b_col=b.colors if scheme else None,
+            a_nrm=a.normals, b_nrm=b.normals,
+            color_scheme=scheme, point_to_plane=p2p, d2_mode=d2,
+        )
+        for key, val in single.items():
+            np.testing.assert_allclose(
+                np.asarray(stats[key])[f], np.asarray(val),
+                rtol=1e-5, atol=1e-7, err_msg=key,
+            )
+
+
 def test_finalize_matches_oracle_through_sharded_path():
     mesh = make_mesh(8, dp=1)
     rng = np.random.default_rng(4)

@@ -92,6 +92,24 @@ def analyse(tag, ga, gb, n_a, exclude_self=False):
         print(f"  K={K:4d} (window {2*K+1} chunks): escalate "
               f"{escal.sum()}/{live.sum()} = {100*escal.mean():.2f}%")
 
+    # Superchunk granularity: group G consecutive chunks; a supergroup
+    # qualifies when ANY member chunk does (tight lb = min over members).
+    for G in (2, 4, 8):
+        ns = (ncb + G - 1) // G
+        pad = ns * G - ncb
+        q = qual
+        if pad:
+            q = np.concatenate(
+                [qual, np.zeros((qual.shape[0], pad), bool)], axis=1)
+        qs = q.reshape(-1, ns, G).any(2)
+        cs = qs.sum(1)[live]
+        print(f"  G={G} ({G*CHUNK}-pt supers, ns={ns}): count "
+              f"mean={cs.mean():.2f} p90={np.quantile(cs, 0.90):.0f} "
+              f"p99={np.quantile(cs, 0.99):.0f} max={cs.max()}; "
+              + " ".join(
+                  f"cap{c}->esc {100*np.mean(cs > c):.1f}%"
+                  for c in (2, 3, 4, 6, 8)))
+
 
 def main():
     n_target = int(sys.argv[1]) if len(sys.argv) > 1 else 800_000
