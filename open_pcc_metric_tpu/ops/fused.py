@@ -53,6 +53,7 @@ def _pair_stats_pruned(
     a_pts, b_pts, n_a, n_b, a_col, b_col, a_nrm, b_nrm, ga, gb,
     a_col_sorted=None, b_col_sorted=None,
     a_nrm_sorted=None, b_nrm_sorted=None,
+    qt8_a=None, qt8_b=None,
     *, color_scheme, point_to_plane, d2_mode, with_boundary,
     prune_cap, prune_fallback, mxu_ok=False,
 ):
@@ -136,11 +137,11 @@ def _pair_stats_pruned(
     else:
         d0, i0, ov0 = nn_pruned_sorted(
             ga, gb, n_a, cap=prune_cap, fallback_tiles=prune_fallback,
-            mxu_ok=mxu_ok,
+            mxu_ok=mxu_ok, qt8=qt8_a,
         )
         d1, i1, ov1 = nn_pruned_sorted(
             gb, ga, n_b, cap=prune_cap, fallback_tiles=prune_fallback,
-            mxu_ok=mxu_ok,
+            mxu_ok=mxu_ok, qt8=qt8_b,
         )
 
         def gather_payload(pts, col, nrm, idx):
@@ -179,6 +180,7 @@ def _pair_stats_pruned(
         dself, _, ov2 = nn_pruned_sorted(
             ga, ga, n_a, exclude_self=True,
             cap=prune_cap, fallback_tiles=prune_fallback, mxu_ok=mxu_ok,
+            qt8=qt8_a,
         )
         overflows.append(ov2)
         sqrt_self = jnp.sqrt(jnp.maximum(dself, 0.0))
@@ -260,6 +262,8 @@ def pair_stats(
     b_col_sorted: typing.Optional[jnp.ndarray] = None,
     a_nrm_sorted: typing.Optional[jnp.ndarray] = None,
     b_nrm_sorted: typing.Optional[jnp.ndarray] = None,
+    qt8_a: typing.Optional[jnp.ndarray] = None,
+    qt8_b: typing.Optional[jnp.ndarray] = None,
     color_scheme: typing.Optional[str] = None,
     point_to_plane: bool = False,
     d2_mode: str = "reference",
@@ -285,6 +289,7 @@ def pair_stats(
         return _pair_stats_pruned(
             a_pts, b_pts, n_a, n_b, a_col, b_col, a_nrm, b_nrm, ga, gb,
             a_col_sorted, b_col_sorted, a_nrm_sorted, b_nrm_sorted,
+            qt8_a, qt8_b,
             color_scheme=color_scheme, point_to_plane=point_to_plane,
             d2_mode=d2_mode, with_boundary=with_boundary,
             prune_cap=prune_cap, prune_fallback=prune_fallback,
@@ -436,6 +441,22 @@ def finalize_stats(
     return out
 
 
+def _packed_qt8(cloud):
+    """Per-Cloud cached (8, P) coordinate-major sorted points.
+
+    The transposed query layout the pallas refine kernels read; the
+    (P,8)->(8,P) relayout costs ~15 ms at 800k on TPU, so it is computed
+    once per immutable Cloud (like grids/sorted colours) instead of inside
+    every NN pass."""
+    q = getattr(cloud, "_qt8", None)
+    if q is None:
+        import jax.numpy as _jnp
+
+        q = _jnp.pad(cloud.get_grid().points, ((0, 0), (0, 5))).T
+        cloud._qt8 = q
+    return q
+
+
 def _sorted_colors(cloud):
     """Per-Cloud cached Morton-sorted colours (one gather per cloud ever)."""
     if cloud.colors is None:
@@ -491,7 +512,7 @@ def boundary_stats(cloud, backend: str = "auto"):
             d, _, overflow = nn_pruned_sorted(
                 g, g, jnp.asarray(cloud.n), exclude_self=True,
                 cap=cap, fallback_tiles=fallback,
-                mxu_ok=cloud.mxu_exact(),
+                mxu_ok=cloud.mxu_exact(), qt8=_packed_qt8(cloud),
             )
             # Exact iff certified, or stage 1 refined every chunk (at which
             # point the certificate cannot fail).
@@ -544,9 +565,12 @@ def fused_evaluate(
     ga = gb = None
     a_col_sorted = b_col_sorted = None
     a_nrm_sorted = b_nrm_sorted = None
+    qt8_a = qt8_b = None
     if backend == "pruned":
         ga = a.get_grid()
         gb = b.get_grid()
+        qt8_a = _packed_qt8(a)
+        qt8_b = _packed_qt8(b)
         if color_scheme is not None:
             a_col_sorted = _sorted_colors(a)
             b_col_sorted = _sorted_colors(b)
@@ -573,6 +597,8 @@ def fused_evaluate(
             b_col_sorted=b_col_sorted,
             a_nrm_sorted=a_nrm_sorted,
             b_nrm_sorted=b_nrm_sorted,
+            qt8_a=qt8_a,
+            qt8_b=qt8_b,
             color_scheme=color_scheme,
             point_to_plane=point_to_plane,
             d2_mode=d2_mode,

@@ -66,10 +66,10 @@ def knn(
             new_i = jnp.take_along_axis(cand_i, pos, axis=1)
             return (-top_negd, new_i), None
 
-        init = (
-            jnp.full((ca, k), big, dtype),
-            jnp.zeros((ca, k), jnp.int32),
-        )
+        # Operand-derived fresh carries: see ops/nn.py (vma-checker note).
+        zrow = jnp.zeros_like(a_chunk[:, :1])  # (ca, 1)
+        zk = jnp.broadcast_to(zrow, (zrow.shape[0], k))
+        init = (zk + big, zk.astype(jnp.int32))
         (run_d, run_i), _ = jax.lax.scan(per_b_tile, init, (b_tiles, b_bases))
         return carry, (run_d, run_i)
 

@@ -125,9 +125,11 @@ def knn_pruned_sorted(
         from .refine_pallas import refine_knn_pallas_t
 
         qt8 = jnp.pad(ga.points, ((0, 0), (0, 5))).T
-        bt8 = qt8 if gb is ga else jnp.pad(gb.points, ((0, 0), (0, 5))).T
+        # b side in the natural (Pb, 8) layout: a cheap pad, not a ~15 ms
+        # 850k-row transpose (see refine_pallas.refine_nn_pallas_t).
+        b8r = jnp.pad(gb.points, ((0, 0), (0, 5)))
         dk, ik = refine_knn_pallas_t(
-            qt8, bt8, gb.perm[None, :], cand, k,
+            qt8, b8r, gb.perm[None, :], cand, k,
             exclude_self=exclude_self,
             interpret=(impl == "pallas_interpret"),
         )

@@ -82,7 +82,12 @@ def nn_chunked(
                     jnp.where(take, tile_arg, best_i)), None
 
         b_bases = (jnp.arange(nb // cb, dtype=jnp.int32) * cb)
-        init = (jnp.full((ca,), big, dtype), jnp.zeros((ca,), jnp.int32))
+        # Derive the fresh carries from the operand (zeros_like keeps any
+        # shard_map varying-axis attribute, so the vma checker can stay on
+        # when this runs inside a mesh — plain constants would make the
+        # scan's carry-in/out types disagree).
+        zrow = jnp.zeros_like(a_chunk[:, 0])
+        init = (zrow + big, zrow.astype(jnp.int32))
         (best_d, best_i), _ = jax.lax.scan(per_b_tile, init, (b_tiles, b_bases))
         return carry, (best_d, best_i)
 

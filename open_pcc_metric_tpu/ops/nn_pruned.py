@@ -222,6 +222,7 @@ def nn_pruned_sorted(
     fallback_tiles: int = 128,
     refine_impl: str = "auto",
     mxu_ok: bool = False,
+    qt8: typing.Optional[jnp.ndarray] = None,
 ) -> typing.Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """1-NN in Morton-sorted order.
 
@@ -269,25 +270,54 @@ def nn_pruned_sorted(
 
     impl = _resolve_refine_impl(refine_impl, dtype)
     if impl in ("pallas", "pallas_interpret"):
+        import os as _os
+
         from .refine_pallas import refine_nn_pallas_t
 
-        qt8 = jnp.pad(ga.points, ((0, 0), (0, 5))).T
-        bt8 = qt8 if gb is ga else jnp.pad(gb.points, ((0, 0), (0, 5))).T
+        use_expanded = mxu_ok and _os.environ.get("PCC_NN_EXPANDED") == "1"
+        if use_expanded:
+            # Augmented rows for the 4-pass expanded-norm distance (see
+            # _nn_kernel_t): q=[-2x,-2y,-2z,|q|^2], b=[x,y,z,|b|^2]. Only
+            # exact under cloud.mxu_exact (integer coords; every partial
+            # sum an exact f32 integer — nonnegative voxel grids in
+            # practice). Opt-in: measured NEUTRAL for a->b and ~15% SLOWER
+            # for b->a on the 800k bench (the kernel is not bound by the
+            # two VPU passes this saves). Queries are padded to whole
+            # 8-tile groups (no straight-kernel fallback).
+            def aug(pts, neg2):
+                sq = jnp.sum(pts * pts, axis=1, keepdims=True)
+                head = (-2.0 * pts) if neg2 else pts
+                return jnp.pad(
+                    jnp.concatenate([head, sq], axis=1), ((0, 0), (0, 4))
+                ).T
+
+            q8 = aug(ga.points, True)
+            b8r = aug(gb.points, False).T
+            qpad = (-nta) % 8
+            if qpad:
+                q8 = jnp.pad(q8, ((0, 0), (0, qpad * CHUNK)))
+        else:
+            # qt8 (the only relayout left) is cacheable per cloud: callers
+            # that evaluate many pairs against one cloud pass it in.
+            q8 = qt8 if qt8 is not None else jnp.pad(
+                ga.points, ((0, 0), (0, 5))).T
+            # b side: the kernel reads (Pb, 8) rows — the NATURAL padded
+            # layout, a cheap pad instead of a ~15 ms 850k-row transpose.
+            b8r = jnp.pad(gb.points, ((0, 0), (0, 5)))
         borig_row = gb.perm[None, :]
 
         def refine(q_tiles, cand, tbases, ncand, batch):
             # Stage-1 only: the full contiguous tile range starting at 0.
-            # The candidates' own lower bounds feed the in-kernel
-            # certificate gate (skip chunks that provably cannot win).
             lbc = jnp.take_along_axis(lb, cand, axis=1)
             d, ii = refine_nn_pallas_t(
-                qt8,
-                bt8,
+                q8,
+                b8r,
                 borig_row,
                 cand,
                 lbc=lbc,
                 exclude_self=exclude_self,
                 interpret=(impl == "pallas_interpret"),
+                expanded=use_expanded,
             )
             return d.reshape(nta, CHUNK), ii.reshape(nta, CHUNK)
 

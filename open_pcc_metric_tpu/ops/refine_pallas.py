@@ -511,11 +511,12 @@ def select_candidates_pallas(
 _TILES_PER_STEP = 8
 
 
-def _nn_kernel_t(cand_ref, lbc_ref, off_ref, qt_ref, *rest, exclude_self):
+def _nn_kernel_t(cand_ref, lbc_ref, off_ref, qt_ref, *rest, exclude_self,
+                 expanded, cs=1):
     tt = _TILES_PER_STEP
-    b_refs = rest[:tt]
-    borig_refs = rest[tt : 2 * tt]
-    bestd_ref, besti_ref = rest[2 * tt], rest[2 * tt + 1]
+    b_refs = rest[: tt * cs]
+    borig_refs = rest[tt * cs : 2 * tt * cs]
+    bestd_ref, besti_ref = rest[2 * tt * cs], rest[2 * tt * cs + 1]
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -532,17 +533,30 @@ def _nn_kernel_t(cand_ref, lbc_ref, off_ref, qt_ref, *rest, exclude_self):
     # plumbed for future schedules.
     del lbc_ref
     q = qt_ref[:]  # (8, tt*CHUNK)
-    for t in range(tt):
-        b = b_refs[t][:]  # (CHUNK, 8) candidates of tile t
-        d = None
-        for k in range(3):
-            bk = b[:, k].reshape(CHUNK, 1)  # candidates down sublanes
-            qk = q[k, t * CHUNK : (t + 1) * CHUNK].reshape(1, CHUNK)
-            diff = bk - qk
-            d = diff * diff if d is None else d + diff * diff
+    for t, c in [(t_, c_) for t_ in range(tt) for c_ in range(cs)]:
+        b = b_refs[t * cs + c][:]  # (CHUNK, 8) candidates of tile t
+        if expanded:
+            # Expanded-norm form over augmented rows (caller packs
+            # q=[-2x,-2y,-2z,qsq], b=[x,y,z,bsq]): 4 broadcast passes
+            # (1 add + 3 fma) instead of difference-form's 6. Exact only
+            # for integer clouds within the mxu_exact bound — every
+            # partial sum is an exact f32 integer (see cloud.mxu_exact).
+            d = b[:, 3].reshape(CHUNK, 1) \
+                + q[3, t * CHUNK : (t + 1) * CHUNK].reshape(1, CHUNK)
+            for k in range(3):
+                bk = b[:, k].reshape(CHUNK, 1)
+                qk = q[k, t * CHUNK : (t + 1) * CHUNK].reshape(1, CHUNK)
+                d = bk * qk + d
+        else:
+            d = None
+            for k in range(3):
+                bk = b[:, k].reshape(CHUNK, 1)  # candidates down sublanes
+                qk = q[k, t * CHUNK : (t + 1) * CHUNK].reshape(1, CHUNK)
+                diff = bk - qk
+                d = diff * diff if d is None else d + diff * diff
         # d: (cand, query)
         if exclude_self:
-            cj = cand_ref[i * tt + t, j]
+            cj = cand_ref[i * tt + t, j * cs + c]
             crow = jax.lax.broadcasted_iota(
                 jnp.int32, (CHUNK, CHUNK), 0) + cj * CHUNK
             qcol = jax.lax.broadcasted_iota(
@@ -551,7 +565,7 @@ def _nn_kernel_t(cand_ref, lbc_ref, off_ref, qt_ref, *rest, exclude_self):
             d = jnp.where(crow == qcol, jnp.inf, d)
         dmin = jnp.min(d, axis=0, keepdims=True)  # (1, CHUNK) lane-major
         at_min = d == dmin
-        bor = borig_refs[t][:]  # (CHUNK, 1)
+        bor = borig_refs[t * cs + c][:]  # (CHUNK, 1)
         ii = jnp.min(
             jnp.where(at_min, jnp.broadcast_to(bor, d.shape), INT_MAX),
             axis=0, keepdims=True,
@@ -564,31 +578,36 @@ def _nn_kernel_t(cand_ref, lbc_ref, off_ref, qt_ref, *rest, exclude_self):
 
 
 def _nn_group_t(qt8_g, tbase, b8r, borig_col, cand_g, lbc_g, exclude_self,
-                interpret):
+                interpret, expanded=False, cs=1):
     gt, cap = cand_g.shape
     tt = _TILES_PER_STEP
+    while cap % cs:
+        cs //= 2
 
-    def b_spec(t):
+    def b_spec(t, c):
         return pl.BlockSpec(
             (CHUNK, 8),
-            lambda i, j, cand, lbc, off, t=t: (cand[i * tt + t, j], 0)
+            lambda i, j, cand, lbc, off, t=t, c=c: (
+                cand[i * tt + t, j * cs + c], 0)
         )
 
-    def bor_spec(t):
+    def bor_spec(t, c):
         return pl.BlockSpec(
             (CHUNK, 1),
-            lambda i, j, cand, lbc, off, t=t: (cand[i * tt + t, j], 0)
+            lambda i, j, cand, lbc, off, t=t, c=c: (
+                cand[i * tt + t, j * cs + c], 0)
         )
 
-    kernel = functools.partial(_nn_kernel_t, exclude_self=exclude_self)
+    kernel = functools.partial(_nn_kernel_t, exclude_self=exclude_self,
+                               expanded=expanded, cs=cs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # cand table, candidate lbs, tile offset
-        grid=(gt // tt, cap),
+        grid=(gt // tt, cap // cs),
         in_specs=(
             [pl.BlockSpec((8, tt * CHUNK),
                           lambda i, j, cand, lbc, off: (0, i))]
-            + [b_spec(t) for t in range(tt)]
-            + [bor_spec(t) for t in range(tt)]
+            + [b_spec(t, c) for t in range(tt) for c in range(cs)]
+            + [bor_spec(t, c) for t in range(tt) for c in range(cs)]
         ),
         out_specs=[
             pl.BlockSpec((tt, CHUNK), lambda i, j, cand, lbc, off: (i, 0)),
@@ -606,34 +625,45 @@ def _nn_group_t(qt8_g, tbase, b8r, borig_col, cand_g, lbc_g, exclude_self,
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(cand_g, lbc_g, tbase, qt8_g, *([b8r] * tt), *([borig_col] * tt))
+    )(cand_g, lbc_g, tbase, qt8_g, *([b8r] * (tt * cs)),
+      *([borig_col] * (tt * cs)))
     return bestd.reshape(gt * CHUNK), besti.reshape(gt * CHUNK)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("exclude_self", "interpret")
+    jax.jit, static_argnames=("exclude_self", "interpret", "expanded", "cs")
 )
 def refine_nn_pallas_t(
     qt8: jnp.ndarray,  # (8, Pa)
-    bt8: jnp.ndarray,  # (8, Pb)
+    b8r: jnp.ndarray,  # (Pb, 8) row-major sorted search points (zero-padded
+    # cols) — the NATURAL padded layout, so callers pass jnp.pad(points)
+    # with NO transpose (a (Pb,8)<->(8,Pb) relayout costs ~15 ms at 850k
+    # and used to be paid TWICE per call, caller .T + callee .T back)
     borig: jnp.ndarray,  # (1, Pb)
     cand: jnp.ndarray,  # (nta, cap)
     lbc: typing.Optional[jnp.ndarray] = None,  # (nta, cap) candidate lbs
     exclude_self: bool = False,
     interpret: bool = False,
+    expanded: bool = False,
+    cs: typing.Optional[int] = None,
 ):
     """Transposed-layout refine; same results as refine_nn_pallas.
 
     ``lbc`` (each candidate's bbox lower bound, lb-ascending like ``cand``)
-    enables the in-kernel certificate gate that skips chunks which provably
-    cannot improve or tie; omitted (e.g. float64 callers) it degrades to
-    the ungated fixed-cap sweep with identical results.
+    is currently unused in-kernel (see the reverted-gate note) but stays in
+    the interface. With ``expanded=True`` the caller packs augmented rows
+    (q=[-2x,-2y,-2z,qsq], b=[x,y,z,bsq]) and distances use the cheaper
+    expanded-norm form — exact only under cloud.mxu_exact; the caller must
+    then pad qt8 to a multiple of 8 tiles (no straight-layout fallback).
     """
     nta, cap = cand.shape
+    if cs is None:
+        import os
+
+        cs = int(os.environ.get("PCC_NN_CS", "1"))
     if lbc is None:
         lbc = jnp.zeros_like(cand, dtype=jnp.float32)  # gate always passes
     lbc = lbc.astype(jnp.float32)
-    b8r = bt8.T  # (Pb, 8): candidate rows, contiguous (CHUNK, 8) blocks
     borig_col = borig.reshape(-1, 1)  # (Pb, 1)
     tt = _TILES_PER_STEP
     group = (TILE_GROUP // tt) * tt
@@ -658,13 +688,15 @@ def refine_nn_pallas_t(
                 qt8, g0 * CHUNK, (gt + pad) * CHUNK, axis=1,
             ) if (g0 + gt + pad) * CHUNK <= qt8.shape[1] else None
             if q_g is None:
+                assert not expanded, (
+                    "expanded packing requires qt8 padded to 8-tile groups")
                 # tail runs through the straight-layout path instead
                 d_g, i_g = _nn_group(
                     jax.lax.slice_in_dim(
                         qt8, g0 * CHUNK, (g0 + gt) * CHUNK, axis=1
                     ),
                     jnp.array([g0], jnp.int32),
-                    bt8.reshape(8, -1, CHUNK).transpose(1, 0, 2).reshape(
+                    b8r.T.reshape(8, -1, CHUNK).transpose(1, 0, 2).reshape(
                         -1, CHUNK
                     ),
                     borig,
@@ -677,7 +709,7 @@ def refine_nn_pallas_t(
                 continue
             d_g, i_g = _nn_group_t(
                 q_g, jnp.array([g0], jnp.int32), b8r, borig_col, cand_g,
-                lbc_g, exclude_self, interpret,
+                lbc_g, exclude_self, interpret, expanded, cs,
             )
             d_parts.append(d_g[: gt * CHUNK])
             i_parts.append(i_g[: gt * CHUNK])
@@ -688,7 +720,7 @@ def refine_nn_pallas_t(
                 ),
                 jnp.array([g0], jnp.int32), b8r, borig_col,
                 cand[g0 : g0 + gt], lbc[g0 : g0 + gt], exclude_self,
-                interpret,
+                interpret, expanded, cs,
             )
             d_parts.append(d_g)
             i_parts.append(i_g)
@@ -798,7 +830,7 @@ def _knn_group_t(qt8_g, tbase, b8r, borig_col, cand_g, k, exclude_self,
 )
 def refine_knn_pallas_t(
     qt8: jnp.ndarray,
-    bt8: jnp.ndarray,
+    b8r: jnp.ndarray,  # (Pb, 8) natural padded layout (see refine_nn_pallas_t)
     borig: jnp.ndarray,
     cand: jnp.ndarray,
     k: int,
@@ -807,7 +839,6 @@ def refine_knn_pallas_t(
 ):
     """Transposed-layout k-NN refine; ascending (dk, idx) like the others."""
     nta, cap = cand.shape
-    b8r = bt8.T
     borig_col = borig.reshape(-1, 1)
     tt = _TILES_PER_STEP
     group = (TILE_GROUP // tt) * tt
@@ -826,7 +857,7 @@ def refine_knn_pallas_t(
                 jax.lax.slice_in_dim(
                     qt8, g0 * CHUNK, (g0 + gt) * CHUNK, axis=1
                 ),
-                bt8, borig, cand[g0 : g0 + gt], k,
+                b8r.T, borig, cand[g0 : g0 + gt], k,
                 exclude_self=exclude_self, interpret=interpret,
             )
             d_parts.append(dk)

@@ -115,3 +115,28 @@ def test_payload_kernel_interpret_matches_gathers():
     np.testing.assert_allclose(
         np.asarray(pay)[:, 3:6], np.asarray(c.colors)[idx], rtol=1e-6
     )
+
+
+@pytest.mark.parametrize("exclude_self", [False, True])
+def test_expanded_norm_refine_matches_xla(exclude_self):
+    """The 4-pass expanded-norm distance (mxu_ok packing) is bit-identical
+    to the difference-form XLA path on gated integer clouds."""
+    from open_pcc_metric_tpu.ops.nn_pruned import nn_pruned_sorted
+
+    rng = np.random.default_rng(60)
+    A = rng.integers(0, 1024, (3000, 3)).astype(np.float64)
+    B = rng.integers(0, 1024, (2500, 3)).astype(np.float64)
+    a = Cloud.from_numpy(A, dtype=jnp.float32)
+    b = a if exclude_self else Cloud.from_numpy(B, dtype=jnp.float32)
+    assert a.mxu_exact()
+    ga = a.get_grid()
+    gb = ga if exclude_self else b.get_grid()
+    xd, xi, _ = nn_pruned_sorted(ga, gb, jnp.asarray(a.n),
+                                 exclude_self=exclude_self,
+                                 refine_impl="xla")
+    pd, pi, _ = nn_pruned_sorted(ga, gb, jnp.asarray(a.n),
+                                 exclude_self=exclude_self,
+                                 refine_impl="pallas_interpret", mxu_ok=True)
+    n = a.n
+    np.testing.assert_array_equal(np.asarray(xd)[:n], np.asarray(pd)[:n])
+    np.testing.assert_array_equal(np.asarray(xi)[:n], np.asarray(pi)[:n])

@@ -47,7 +47,7 @@ def test_ring_nn_matches_oracle(dp):
             fn,
             mesh=mesh,
             in_specs=(P(None, "points"), P(None, "points")),
-            out_specs=P(None, "points"), check_vma=False,
+            out_specs=P(None, "points"),
         )
     )
     # add a dummy leading axis of size 1 replicated over "frames"
@@ -73,7 +73,7 @@ def test_ring_nn_self_exclusion():
     mapped = jax.jit(
         jax.shard_map(
             fn, mesh=mesh, in_specs=(P(None, "points"),),
-            out_specs=P(None, "points"), check_vma=False,
+            out_specs=P(None, "points"),
         )
     )
     d, i = mapped(a.points[None])
@@ -95,7 +95,7 @@ def test_ring_normals_match_single_chip():
         jax.shard_map(
             lambda ap: ring_normals(ap[0])[None],
             mesh=mesh, in_specs=(P(None, "points"),),
-            out_specs=P(None, "points"), check_vma=False,
+            out_specs=P(None, "points"),
         )
     )
     normals = np.asarray(mapped(a.points[None]))[0][:900]
@@ -185,6 +185,7 @@ def test_ring_nn_pruned_matches_oracle(exclude_self):
             apts[0], bpts[0], bperm[0], blo[0], bhi[0],
             jnp.asarray(a.n), jnp.asarray(b.n),
             payload=pay[0], exclude_self=exclude_self, cap=8)
+        ovf = jax.lax.pmax(ovf.astype(jnp.int32), "points") > 0
         return d[None], i[None], pw[None], ovf[None]
 
     mapped = jax.jit(jax.shard_map(
@@ -193,7 +194,7 @@ def test_ring_nn_pruned_matches_oracle(exclude_self):
         + (P(None, "points"),),
         out_specs=(P(None, "points"), P(None, "points"),
                    P(None, "points"), P(None)),
-        check_vma=False,
+
     ))
     d, i, pw, ovf = mapped(
         ga.points[None], gb.points[None], gb.perm[None],
@@ -232,12 +233,13 @@ def test_ring_nn_pruned_overflow_escalates():
             d, i, _, ovf = ring_nn_pruned(
                 apts[0], bpts[0], bperm[0], blo[0], bhi[0],
                 jnp.asarray(a.n), jnp.asarray(b.n), cap=cap)
+            ovf = jax.lax.pmax(ovf.astype(jnp.int32), "points") > 0
             return d[None], i[None], ovf[None]
 
         mapped = jax.jit(jax.shard_map(
             fn, mesh=mesh, in_specs=(P(None, "points"),) * 5,
             out_specs=(P(None, "points"), P(None, "points"), P(None)),
-            check_vma=False,
+
         ))
         d, i, ovf = mapped(ga.points[None], gb.points[None], gb.perm[None],
                            gb.bbox_lo[None], gb.bbox_hi[None])
@@ -272,12 +274,13 @@ def test_ring_knn_pruned_matches_bruteforce_ring():
         d1, c1 = ring_knn_coords(apts[0], apts[0], k=k)
         d2, c2, ovf = ring_knn_coords_pruned(
             apts[0], apts[0], blo[0], bhi[0], jnp.asarray(a.n), k=k, cap=8)
+        ovf = jax.lax.pmax(ovf.astype(jnp.int32), "points") > 0
         return d1[None], c1[None], d2[None], c2[None], ovf[None]
 
     mapped = jax.jit(jax.shard_map(
         fn, mesh=mesh, in_specs=(P(None, "points"),) * 3,
         out_specs=(P(None, "points"),) * 4 + (P(None),),
-        check_vma=False,
+
     ))
     d1, c1, d2, c2, ovf = mapped(
         ga.points[None], ga.bbox_lo[None], ga.bbox_hi[None])

@@ -96,7 +96,7 @@ def main():
         print(f"--- {tag}: nta={nta} ncb={ncb}")
         for A in (1, 2, 4, 8):
             cand = jax.lax.top_k(-lb, A)[1].astype(jnp.int32)
-            d, _ = refine_nn_pallas_t(qt8, bt8, borig, cand,
+            d, _ = refine_nn_pallas_t(qt8, bt8.T, borig, cand,
                                       exclude_self=self_mode)
             d = d.reshape(nta, CHUNK)
             ub = jnp.max(jnp.where(valid_t, d, -jnp.inf), axis=1)

@@ -57,7 +57,7 @@ def main():
         print(f"--- direction {tag}: nta={nta} ncb={ncb}")
         for cap in (4, 8, 16, 32):
             cand = jax.lax.top_k(-lb, cap)[1].astype(jnp.int32)
-            d, _ = refine_nn_pallas_t(qt8, bt8, borig, cand,
+            d, _ = refine_nn_pallas_t(qt8, bt8.T, borig, cand,
                                       exclude_self=self_mode)
             d = d.reshape(nta, CHUNK)
             ub = jnp.max(jnp.where(valid_t, d, -jnp.inf), axis=1)

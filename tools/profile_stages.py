@@ -96,7 +96,7 @@ def main():
     borig = gb.perm[None, :]
     qt8, bt8, borig = jax.device_put((qt8, bt8, borig))
     timeit("refine stage-1 pallas_t (cap=32), one direction",
-           lambda: refine_nn_pallas_t(qt8, bt8, borig, cand))
+           lambda: refine_nn_pallas_t(qt8, bt8.T, borig, cand))
 
     timeit("nn_pruned_sorted full (ft=0: no stage 2)",
            lambda: nn_pruned_sorted(ga, gb, n_a, cap=32, fallback_tiles=0))
