@@ -11,7 +11,8 @@ YCbCr colour MSE/PSNR, minimal-OBB peak — i.e. every number the reference CLI
 prints with --color ycc --hausdorff --point-to-plane.
 
 value      = Mpoints/sec/chip: (n_origin + n_reconst) / wall seconds / 1e6,
-             median of 3 timed runs after a compile warm-up.
+             median of PCC_BENCH_RUNS (default 5) timed runs after warm-up
+             (the axon tunnel adds per-call jitter; the median damps it).
 vs_baseline= speedup over a CPU "reference-equivalent" implementation
              (scipy cKDTree bulk queries, all cores, float64) measured on the
              same clouds. NOTE this baseline is GENEROUS to the reference:
@@ -29,7 +30,7 @@ import time
 import numpy as np
 
 N_TARGET = int(os.environ.get("PCC_BENCH_POINTS", "800000"))
-RUNS = int(os.environ.get("PCC_BENCH_RUNS", "3"))
+RUNS = int(os.environ.get("PCC_BENCH_RUNS", "5"))
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _CACHE = os.path.join(_HERE, "BENCH_BASELINE_CPU.json")
 

@@ -113,8 +113,8 @@ class CloudPair:
                 # cloud and are reused across pairs (QP sweeps).
                 est = getattr(c, "_est_normals", None)
                 if est is None or self._knn_normals != normal_ops.DEFAULT_KNN:
-                    est = normal_ops.estimate_normals(
-                        c.points, k=self._knn_normals, n_valid=c.n
+                    est = normal_ops.estimate_normals_cloud(
+                        c, k=self._knn_normals
                     )
                     if self._knn_normals == normal_ops.DEFAULT_KNN:
                         c._est_normals = est

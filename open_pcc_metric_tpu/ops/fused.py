@@ -555,12 +555,12 @@ def fused_evaluate(
         if a_nrm is None:
             a_nrm = getattr(a, "_est_normals", None)
             if a_nrm is None:
-                a_nrm = normal_ops.estimate_normals(a.points, n_valid=a.n)
+                a_nrm = normal_ops.estimate_normals_cloud(a)
                 a._est_normals = a_nrm
         if b_nrm is None:
             b_nrm = getattr(b, "_est_normals", None)
             if b_nrm is None:
-                b_nrm = normal_ops.estimate_normals(b.points, n_valid=b.n)
+                b_nrm = normal_ops.estimate_normals_cloud(b)
                 b._est_normals = b_nrm
     ga = gb = None
     a_col_sorted = b_col_sorted = None

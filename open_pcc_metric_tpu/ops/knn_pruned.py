@@ -154,44 +154,92 @@ def knn_pruned_sorted(
     counts = jnp.sum(lb <= ub_eff[:, None], axis=1).astype(jnp.int32)
     n_over = jnp.sum(counts > cap)
 
-    # ---- stage 2: re-refine the worst tiles with a much larger cap, then
-    # re-certify (same scheme as nn_pruned.nn_pruned_sorted).
+    # ---- stage 2: re-refine the worst tiles in two count-matched tiers
+    # (mirror of nn_pruned.nn_pruned_sorted). The previous flat
+    # ft x 8*cap XLA pass cost 4.5 s of the 5.2 s 800k normal-estimation
+    # total (30-round extract over 131k-wide rows); the tiers re-run the
+    # PALLAS k-merge kernel on a COMPACTED copy of the failed tiles
+    # instead (their queries gathered into a contiguous (8, ft*CHUNK)
+    # layout), which is valid whenever exclude_self is False — the
+    # normals path — because the kernel then never consults global row
+    # ids. exclude_self=True keeps the XLA refine.
     ft = min(fallback_tiles, nta)
-    cap2 = min(max(8 * cap, 512), ncb)
+    cap2a = min(max(2 * cap, 128), ncb)
+    cap2b = min(max(8 * cap, 512), ncb)
     p = nta * CHUNK
     dk = dk.reshape(p, k)
     ik = ik.reshape(p, k).astype(jnp.int32)
     overflow = n_over > ft
-    if ft > 0 and cap2 > cap:
-        _, otiles = jax.lax.top_k(counts, ft)
-        otiles = otiles.astype(jnp.int32)
-        oq = a_tiles[otiles]  # (ft, CHUNK, 3)
-        olb = lb[otiles]
-        _, ocand = jax.lax.top_k(-olb, cap2)
-        ocand = ocand.astype(jnp.int32)
 
-        b2 = 1  # cap2*CHUNK-wide rows: keep the distance buffer ~130 MB
-        fb_d, fb_i = jax.lax.map(
+    def refine_tier(otiles, ocand, nt, cap2):
+        if impl in ("pallas", "pallas_interpret") and not exclude_self:
+            nt_pad = ((nt + 7) // 8) * 8
+            if nt_pad != nt:
+                otiles_p = jnp.concatenate(
+                    [otiles, jnp.broadcast_to(otiles[-1:], (nt_pad - nt,))])
+                ocand_p = jnp.concatenate(
+                    [ocand,
+                     jnp.broadcast_to(ocand[-1:], (nt_pad - nt, cap2))])
+            else:
+                otiles_p, ocand_p = otiles, ocand
+            cols = (otiles_p[:, None] * CHUNK
+                    + jnp.arange(CHUNK, dtype=jnp.int32)).reshape(-1)
+            qt8_o = jnp.take(qt8, cols, axis=1)  # (8, nt_pad*CHUNK)
+            fd, fi = refine_knn_pallas_t(
+                qt8_o, b8r, gb.perm[None, :], ocand_p, k,
+                exclude_self=False,
+                interpret=(impl == "pallas_interpret"),
+            )
+            return (fd.reshape(nt_pad, CHUNK, k)[:nt],
+                    fi.reshape(nt_pad, CHUNK, k)[:nt])
+        b2 = 1  # cap2*CHUNK-wide rows: keep the distance buffer bounded
+        fd, fi = jax.lax.map(
             make_refine(cap2),
             (
-                oq.reshape(ft // b2, b2, CHUNK, 3),
-                ocand.reshape(ft // b2, b2, cap2),
-                otiles.reshape(ft // b2, b2),
+                a_tiles[otiles].reshape(nt // b2, b2, CHUNK, 3),
+                ocand.reshape(nt // b2, b2, cap2),
+                otiles.reshape(nt // b2, b2),
             ),
         )
-        fb_d = fb_d.reshape(ft, CHUNK, k)
-        fb_i = fb_i.reshape(ft, CHUNK, k)
+        return fd.reshape(nt, CHUNK, k), fi.reshape(nt, CHUNK, k)
+
+    def recount(otiles, fd, cap2):
+        olb = lb[otiles]
         ovalid = valid_t[otiles]
         ub2 = jnp.max(
-            jnp.where(ovalid, fb_d[:, :, k - 1], -jnp.inf), axis=1
-        )
+            jnp.where(ovalid, fd[:, :, k - 1], -jnp.inf), axis=1)
         ub2_eff = ub2 * (1 + 8 * eps) + 8 * eps
-        counts2 = jnp.sum(olb <= ub2_eff[:, None], axis=1)
-        overflow = overflow | jnp.any(counts2 > cap2)
+        return jnp.sum(olb <= ub2_eff[:, None], axis=1)
+
+    def scatter(dk, ik, otiles, fd, fi, nt):
         orows = (otiles[:, None] * CHUNK
-                 + jnp.arange(CHUNK, dtype=jnp.int32)).reshape(ft * CHUNK)
-        dk = dk.at[orows].set(fb_d.reshape(ft * CHUNK, k))
-        ik = ik.at[orows].set(fb_i.reshape(ft * CHUNK, k))
+                 + jnp.arange(CHUNK, dtype=jnp.int32)).reshape(nt * CHUNK)
+        return (dk.at[orows].set(fd.reshape(nt * CHUNK, k)),
+                ik.at[orows].set(fi.reshape(nt * CHUNK, k)))
+
+    if ft > 0 and cap2a > cap:
+        _, otiles = jax.lax.top_k(counts, ft)
+        otiles = otiles.astype(jnp.int32)
+        olb = lb[otiles]
+        _, ocand = jax.lax.top_k(-olb, cap2a)
+        fb_d, fb_i = refine_tier(otiles, ocand.astype(jnp.int32), ft, cap2a)
+        counts2a = recount(otiles, fb_d, cap2a)
+        dk, ik = scatter(dk, ik, otiles, fb_d, fb_i, ft)
+
+        ft2 = min(max(ft // 8, 16), ft)
+        if cap2b > cap2a:
+            need_b = jnp.where(counts2a > cap2a, counts2a, 0)
+            overflow = overflow | (jnp.sum(need_b > 0) > ft2)
+            _, bsel = jax.lax.top_k(need_b, ft2)
+            btiles = otiles[bsel]
+            _, bcand = jax.lax.top_k(-lb[btiles], cap2b)
+            bb_d, bb_i = refine_tier(btiles, bcand.astype(jnp.int32), ft2,
+                                     cap2b)
+            counts2b = recount(btiles, bb_d, cap2b)
+            overflow = overflow | jnp.any(counts2b > cap2b)
+            dk, ik = scatter(dk, ik, btiles, bb_d, bb_i, ft2)
+        else:
+            overflow = overflow | jnp.any(counts2a > cap2a)
 
     return dk, ik, overflow
 

@@ -81,3 +81,36 @@ def estimate_normals(
             neighbor_idx, _ = knn(points, points, k=k, exclude_self=False)
     nv = jnp.asarray(n_valid) if n_valid is not None else None
     return normals_from_neighbors(points, neighbor_idx, k, n_valid=nv)
+
+
+def estimate_normals_cloud(cloud, k: int = DEFAULT_KNN) -> jnp.ndarray:
+    """Estimate normals reusing the Cloud's cached Morton grid.
+
+    ``estimate_normals`` on raw points rebuilds the chunk grid with an
+    on-device sort per call; clouds already carry a host-built grid, so the
+    fused path (ops/fused.fused_evaluate) goes through here. Same escalation
+    ladder and results as knn_pruned + normals_from_neighbors.
+    """
+    from .grid import CHUNK
+    from .knn_pruned import knn_pruned_sorted
+
+    p = cloud.padded_size
+    if p < 65536:  # small clouds: brute-force k-NN is cheaper than grids
+        return estimate_normals(cloud.points, k=k, n_valid=cloud.n)
+    g = cloud.get_grid()
+    ncb = g.n_chunks
+    nta = p // CHUNK
+    cap, ft = 64, 256
+    while True:
+        _, ik, overflow = knn_pruned_sorted(
+            g, g, jnp.asarray(cloud.n), k, cap=cap, fallback_tiles=ft)
+        # Exact iff certified or stage 1 refined every chunk.
+        if not bool(overflow) or cap >= ncb:
+            break
+        cap = min(cap * 4, ncb)
+        ft = min(ft * 4, nta)
+    inv = jnp.zeros(p, jnp.int32).at[g.perm].set(
+        jnp.arange(p, dtype=jnp.int32))
+    idx = jnp.take(ik, inv, axis=0)  # original query order, original ids
+    return normals_from_neighbors(cloud.points, idx, k,
+                                  n_valid=jnp.asarray(cloud.n))
