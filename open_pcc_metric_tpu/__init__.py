@@ -7,7 +7,7 @@ queries, PCA normal estimation runs as a batched covariance+eigh kernel, and
 whole sequences evaluate as sharded batches over a device mesh.
 """
 from .cloud import Cloud, synthetic_sphere_pair, synthetic_voxel_pair
-from .cloud_pair import CloudPair
+from .cloud_pair import CloudPair, get_neighbour_cloud
 from .calculator import CalculateResult, MetricCalculator
 from .options import CalculateOptions, transform_options
 from .evaluate import evaluate_files, evaluate_pair, load_cloud
@@ -18,6 +18,7 @@ __version__ = "0.1.0"
 __all__ = [
     "Cloud",
     "CloudPair",
+    "get_neighbour_cloud",
     "CalculateOptions",
     "CalculateResult",
     "MetricCalculator",

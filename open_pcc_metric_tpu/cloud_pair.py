@@ -214,3 +214,48 @@ class CloudPair:
         a = self.clouds[direction]
         idx, _ = self._nn(direction)
         return jnp.take(self._normals(1 - direction), idx, axis=0)[: a.n]
+
+
+def get_neighbour_cloud(
+    iter_cloud: Cloud,
+    search_cloud: Cloud,
+    n: int = 0,
+) -> typing.Tuple[Cloud, np.ndarray]:
+    """n-th nearest neighbour cloud, generalising the reference helper.
+
+    Parity surface for the reference's ``get_neighbour_cloud(iter_cloud,
+    search_cloud, kdtree, n)`` (reference cloud_pair.py:10-42): for every
+    point of ``iter_cloud``, take its (n+1)-th nearest neighbour in
+    ``search_cloud`` (FLANN's search_knn_vector_3d(point, n+1)[-1]) and
+    return ``(neighbour Cloud with colors when available, squared
+    distances)``. The reference tool only ever calls it with n=0 — that
+    case routes through the 1-NN engines (bit-identical to the metric
+    pipeline, lowest-original-index ties); n>0 uses the exact k-NN engines
+    with k=n+1. Distances match FLANN exactly; under exact distance ties
+    the selected neighbour may differ (FLANN's tie order is unspecified).
+    """
+    if n < 0:
+        raise ValueError(f"n must be >= 0, got {n}")
+    a, b = iter_cloud, search_cloud
+    if n == 0:
+        idx, d = nn_ops.nearest_neighbors(
+            a.points, b.points, n_a=a.n, n_b=b.n)
+        idx, d = idx[: a.n], d[: a.n]
+    else:
+        k = n + 1
+        if max(a.padded_size, b.padded_size) >= nn_ops.PRUNE_THRESHOLD:
+            from .ops.knn_pruned import knn_pruned
+
+            idx_k, d_k = knn_pruned(a.points, b.points, a.n, b.n, k=k)
+        else:
+            from .ops.knn import knn
+
+            idx_k, d_k = knn(a.points, b.points, k=k)
+        idx, d = idx_k[: a.n, n], d_k[: a.n, n]
+    idx_np = np.asarray(idx)
+    pts = np.asarray(b.points, dtype=np.float64)[idx_np]
+    colors = None
+    if b.colors is not None:
+        colors = np.asarray(b.colors)[idx_np]
+    neigh = Cloud.from_numpy(pts, colors=colors, dtype=a.points.dtype)
+    return neigh, np.asarray(d, dtype=np.float64)

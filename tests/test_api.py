@@ -203,3 +203,32 @@ def test_ply_big_endian(tmp_path):
         f.write(rec.tobytes())
     raw = read_point_cloud(p)
     np.testing.assert_array_equal(raw.points, pts)
+
+
+def test_get_neighbour_cloud_arbitrary_n():
+    """Parity surface for the reference's get_neighbour_cloud(..., n):
+    the (n+1)-th neighbour's distances must match a float64 cKDTree."""
+    from scipy.spatial import cKDTree
+
+    from open_pcc_metric_tpu.cloud_pair import get_neighbour_cloud
+
+    rng = np.random.default_rng(77)
+    A = rng.uniform(0, 100, (400, 3))
+    B = rng.uniform(0, 100, (500, 3))
+    col = rng.uniform(0, 1, (500, 3))
+    a = Cloud.from_numpy(A, dtype=jnp.float64)
+    b = Cloud.from_numpy(B, colors=col, dtype=jnp.float64)
+    tree = cKDTree(B)
+    for n in (0, 1, 5):
+        neigh, d = get_neighbour_cloud(a, b, n=n)
+        od, oi = tree.query(A, k=n + 1)
+        od = od if n == 0 else od[:, n]
+        oi = oi if n == 0 else oi[:, n]
+        np.testing.assert_allclose(d, od**2, rtol=1e-10)
+        # neighbour cloud carries the winning points and their colours
+        np.testing.assert_allclose(
+            np.asarray(neigh.points[: a.n]), B[oi], rtol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(neigh.colors[: a.n]), col[oi], rtol=1e-6)
+    with pytest.raises(ValueError):
+        get_neighbour_cloud(a, b, n=-1)
