@@ -406,15 +406,43 @@ def nn_pruned_sorted(
         ub_t_eff = ub_t * (1 + 8 * eps) + 8 * eps
         return jnp.sum(tlb <= ub_t_eff[:, None], axis=1), tlb
 
+    def refine_tier(otiles, ocand, nt, cap2):
+        """Re-refine a compacted tile set. When the stage-1 path is pallas
+        and exclude_self is False (the cross-NN case — the kernel then never
+        consults global row ids), gather the failed tiles' query columns
+        into a contiguous layout and re-run the PALLAS kernel (the same
+        trick that took knn_pruned's stage 2 from 4.5 s to ~70 ms);
+        otherwise the XLA refine."""
+        if impl in ("pallas", "pallas_interpret") and not exclude_self:
+            nt_pad = ((nt + 7) // 8) * 8
+            if nt_pad != nt:
+                otiles_p = jnp.concatenate(
+                    [otiles, jnp.broadcast_to(otiles[-1:], (nt_pad - nt,))])
+                ocand_p = jnp.concatenate(
+                    [ocand,
+                     jnp.broadcast_to(ocand[-1:], (nt_pad - nt, cap2))])
+            else:
+                otiles_p, ocand_p = otiles, ocand
+            cols = (otiles_p[:, None] * CHUNK
+                    + jnp.arange(CHUNK, dtype=jnp.int32)).reshape(-1)
+            q8_o = jnp.take(q8, cols, axis=1)
+            fd, fi = refine_nn_pallas_t(
+                q8_o, b8r, gb.perm[None, :], ocand_p,
+                exclude_self=False,
+                interpret=(impl == "pallas_interpret"),
+                expanded=use_expanded,
+            )
+            return (fd.reshape(nt_pad, CHUNK)[:nt],
+                    fi.reshape(nt_pad, CHUNK)[:nt])
+        return refine_xla(a_tiles[otiles], ocand, otiles, cap2,
+                          _pick_batch(nt, 4))
+
     if ft > 0 and cap2a > cap:
         _, otiles = jax.lax.top_k(counts, ft)
         otiles = otiles.astype(jnp.int32)
         olb = lb[otiles]
         _, ocand = jax.lax.top_k(-olb, cap2a)
-        # Stage-2 tiles are scattered (not contiguous), so the pallas path
-        # cannot slice a query range — use the XLA refine there; ft is small.
-        fb_d, fb_i = refine_xla(a_tiles[otiles], ocand.astype(jnp.int32),
-                                otiles, cap2a, _pick_batch(ft, 4))
+        fb_d, fb_i = refine_tier(otiles, ocand.astype(jnp.int32), ft, cap2a)
         counts2a, _ = recount(otiles, fb_d)
         dmin, gidx = scatter_rows(dmin, gidx, otiles, fb_d, fb_i, ft)
 
@@ -429,9 +457,8 @@ def nn_pruned_sorted(
             btiles = otiles[bsel]
             blb = olb[bsel]
             _, bcand = jax.lax.top_k(-blb, cap2b)
-            bb_d, bb_i = refine_xla(a_tiles[btiles],
-                                    bcand.astype(jnp.int32), btiles, cap2b,
-                                    _pick_batch(ft2, 2))
+            bb_d, bb_i = refine_tier(btiles, bcand.astype(jnp.int32), ft2,
+                                     cap2b)
             counts2b, _ = recount(btiles, bb_d)
             overflow = overflow | jnp.any(counts2b > cap2b)
             dmin, gidx = scatter_rows(dmin, gidx, btiles, bb_d, bb_i, ft2)
