@@ -94,7 +94,7 @@ def _read_journal(path: str) -> typing.Dict[str, dict]:
 
 
 class _CloudCache:
-    """Small LRU of loaded clouds keyed by (path, dtype)."""
+    """Small LRU of loaded clouds keyed by (path, dtype, pad_to)."""
 
     def __init__(self, capacity: int = 4):
         self._cap = capacity
@@ -102,12 +102,12 @@ class _CloudCache:
             "collections"
         ).OrderedDict()
 
-    def get(self, path: str, dtype: str):
-        key = (path, dtype)
+    def get(self, path: str, dtype: str, pad_to=None):
+        key = (path, dtype, pad_to)
         if key in self._store:
             self._store.move_to_end(key)
             return self._store[key]
-        cloud = load_cloud(path, dtype=dtype)
+        cloud = load_cloud(path, dtype=dtype, pad_to=pad_to)
         self._store[key] = cloud
         if len(self._store) > self._cap:
             self._store.popitem(last=False)
@@ -123,10 +123,33 @@ def run_sweep(
     dtype: str = "float32",
     backend: str = "auto",
     resume: bool = True,
+    pad: str = "common",
 ) -> typing.List[dict]:
-    """Evaluate every pair, appending one JSONL record per frame."""
+    """Evaluate every pair, appending one JSONL record per frame.
+
+    ``pad="common"`` (default) sizes every cloud to ONE shared pad bucket
+    (headers are scanned up-front via io.point_count), so a whole QP/rate
+    sweep reuses a single set of compiled programs — with per-pair buckets
+    a 6-QP sweep recompiled the full suite for almost every pair (minutes
+    each through the axon remote-compile). ``pad="per-pair"`` restores
+    individual buckets (smaller arrays; more compilations).
+    """
     done = _read_journal(journal_path) if resume else {}
     cache = _CloudCache()
+    pad_to = None
+    if pad == "common" and items:
+        from .cloud import pad_bucket
+        from .io import point_count
+
+        biggest = 0
+        for it in items:
+            for path in (it.ocloud, it.pcloud):
+                try:
+                    biggest = max(biggest, point_count(path))
+                except (OSError, ValueError):
+                    pass  # unreadable now -> per-pair error later
+        if biggest:
+            pad_to = pad_bucket(biggest)
     results = []
     with open(journal_path, "a") as journal:
         for item in items:
@@ -138,8 +161,8 @@ def run_sweep(
                          "pcloud": item.pcloud, "ts": time.time()}
             try:
                 t0 = time.perf_counter()
-                a = cache.get(item.ocloud, dtype)
-                b = cache.get(item.pcloud, dtype)
+                a = cache.get(item.ocloud, dtype, pad_to)
+                b = cache.get(item.pcloud, dtype, pad_to)
                 metrics = fused_evaluate(
                     a, b, color_scheme=color_scheme,
                     point_to_plane=point_to_plane, d2_mode=d2_mode,

@@ -340,3 +340,34 @@ def _read_xyz(path: str, ext: str) -> RawCloud:
         if colors.max() > 1.0:
             colors = colors / 255.0
     return RawCloud(points=points, colors=colors, normals=normals)
+
+
+def point_count(path: typing.Union[str, os.PathLike]) -> int:
+    """Number of points in a cloud file, from the header when possible.
+
+    PLY ('element vertex N') and PCD ('POINTS N') expose the count in their
+    headers, so sweep planning (batch.run_sweep's common pad bucket) can
+    size its buffers without parsing bodies; XYZ-family files fall back to
+    a full read.
+    """
+    path = os.fspath(path)
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".ply":
+        with open(path, "rb") as f:
+            for raw in iter(f.readline, b""):
+                line = raw.decode("ascii", "replace").strip()
+                if line.startswith("element vertex"):
+                    return int(line.split()[-1])
+                if line == "end_header":
+                    break
+        raise ValueError(f"no 'element vertex' in PLY header: {path}")
+    if ext == ".pcd":
+        with open(path, "rb") as f:
+            for raw in iter(f.readline, b""):
+                line = raw.decode("ascii", "replace").strip()
+                if line.startswith("POINTS"):
+                    return int(line.split()[1])
+                if line.startswith("DATA"):
+                    break
+        raise ValueError(f"no 'POINTS' in PCD header: {path}")
+    return read_point_cloud(path).n

@@ -308,13 +308,13 @@ def nn_pruned_sorted(
 
         def refine(q_tiles, cand, tbases, ncand, batch):
             # Stage-1 only: the full contiguous tile range starting at 0.
-            lbc = jnp.take_along_axis(lb, cand, axis=1)
+            # (lbc is omitted — the in-kernel gate is retired and a full
+            # (nta, cap) table would double the SMEM prefetch budget.)
             d, ii = refine_nn_pallas_t(
                 q8,
                 b8r,
                 borig_row,
                 cand,
-                lbc=lbc,
                 exclude_self=exclude_self,
                 interpret=(impl == "pallas_interpret"),
                 expanded=use_expanded,

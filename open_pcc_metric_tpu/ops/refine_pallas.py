@@ -662,11 +662,17 @@ def refine_nn_pallas_t(
 
         cs = int(os.environ.get("PCC_NN_CS", "1"))
     if lbc is None:
-        lbc = jnp.zeros_like(cand, dtype=jnp.float32)  # gate always passes
+        # The kernel currently ignores lbc (see the reverted-gate note);
+        # a (rows, 1) dummy keeps it out of the SMEM budget.
+        lbc = jnp.zeros((nta, 1), jnp.float32)
     lbc = lbc.astype(jnp.float32)
     borig_col = borig.reshape(-1, 1)  # (Pb, 1)
     tt = _TILES_PER_STEP
-    group = (TILE_GROUP // tt) * tt
+    # Scalar-prefetch tables live in ~1 MB SMEM: bound rows so
+    # (cand + lbc) * cap fits even at escalated caps (cap=512 after a
+    # ladder rung used to compile a 2 MB table and OOM SMEM).
+    budget_rows = max(tt, (393216 // (8 * cap)) // tt * tt)
+    group = min((TILE_GROUP // tt) * tt, budget_rows)
     d_parts, i_parts = [], []
     for g0 in range(0, nta, group):
         gt = min(group, nta - g0)
@@ -681,7 +687,8 @@ def refine_nn_pallas_t(
             )
             lbc_g = jnp.concatenate(
                 [lbc[g0 : g0 + gt],
-                 jnp.broadcast_to(lbc[g0 + gt - 1 : g0 + gt], (pad, cap))],
+                 jnp.broadcast_to(lbc[g0 + gt - 1 : g0 + gt],
+                                  (pad, lbc.shape[1]))],
                 axis=0,
             )
             q_g = jax.lax.dynamic_slice_in_dim(
@@ -841,7 +848,8 @@ def refine_knn_pallas_t(
     nta, cap = cand.shape
     borig_col = borig.reshape(-1, 1)
     tt = _TILES_PER_STEP
-    group = (TILE_GROUP // tt) * tt
+    budget_rows = max(tt, (393216 // (4 * cap)) // tt * tt)
+    group = min((TILE_GROUP // tt) * tt, budget_rows)
     d_parts, i_parts = [], []
     for g0 in range(0, nta, group):
         gt = min(group, nta - g0)

@@ -195,3 +195,39 @@ def test_sharded_sweep_estimates_normals_in_mesh(frames, tmp_path):
         # exact k-NN implementations.
         np.testing.assert_allclose(m1["d2_mse_left"], m2["d2_mse_left"],
                                    rtol=0.05)
+
+
+def test_point_count_headers(tmp_path):
+    """io.point_count reads PLY/PCD headers without parsing bodies."""
+    from open_pcc_metric_tpu.io import point_count, write_ply
+
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(0, 10, (123, 3))
+    p_ascii = tmp_path / "a.ply"
+    p_bin = tmp_path / "b.ply"
+    write_ply(str(p_ascii), pts, binary=False)
+    write_ply(str(p_bin), pts, binary=True)
+    assert point_count(p_ascii) == 123
+    assert point_count(p_bin) == 123
+
+
+def test_run_sweep_common_pad_shares_bucket(tmp_path):
+    """pad='common' loads differently-sized clouds into one bucket (one
+    compiled program set) and reproduces per-pair results."""
+    from open_pcc_metric_tpu.io import write_ply
+
+    rng = np.random.default_rng(6)
+    ref = rng.integers(0, 64, (900, 3)).astype(float)
+    small = rng.integers(0, 64, (300, 3)).astype(float)
+    paths = {}
+    for name, pts in (("ref", ref), ("deg", small)):
+        p = tmp_path / f"{name}.ply"
+        write_ply(str(p), pts)
+        paths[name] = str(p)
+    items = [SweepItem(paths["ref"], paths["deg"], tag="x")]
+    r_common = run_sweep(items, str(tmp_path / "j1.jsonl"), pad="common")
+    r_per = run_sweep(items, str(tmp_path / "j2.jsonl"), pad="per-pair",
+                      resume=False)
+    m1, m2 = r_common[0]["metrics"], r_per[0]["metrics"]
+    for k in m1:
+        np.testing.assert_allclose(m1[k], m2[k], rtol=1e-6, err_msg=k)
