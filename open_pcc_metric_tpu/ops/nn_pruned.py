@@ -676,3 +676,148 @@ def nn_pruned_sorted_payload(
         pay = pay.at[orows].set(fb_pay)
 
     return dmin, gidx, pay, overflow
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("p1", "b1_extra", "interpret", "mxu_ok"),
+)
+def nn_pruned_bucketed_sorted(
+    ga: ChunkGrid,
+    gb: ChunkGrid,
+    n_a: jnp.ndarray,
+    p1: int = 8,
+    b1_extra: int = 40,
+    interpret: bool = False,
+    mxu_ok: bool = False,
+    qt8: typing.Optional[jnp.ndarray] = None,
+) -> typing.Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Certificate-bucketed 1-NN: probe + seeded escalation (cross-NN only).
+
+    Same contract as nn_pruned_sorted. The fixed-cap schedule refines 32
+    chunks for every tile although the mean qualifying count is 11-19; this
+    schedule probes ``p1`` chunks for ALL tiles, then re-refines only the
+    tiles whose certificate demands more, SEEDED from the probe so the
+    extra pass executes candidate slots [p1, p1+b1_extra) instead of
+    starting over — total work tracks the qualifying-count distribution
+    instead of the worst case. Tiles still over p1+b1_extra fall through
+    to the same from-scratch count-matched tiers as the fixed schedule.
+
+    Exactness: each tile's final refined set is a prefix of its
+    lb-ascending candidate order; a tile is final only when its qualifying
+    count (vs the post-refine ub) fits that prefix, else a wider tier or
+    the overflow flag takes over — the identical certificate argument as
+    nn_pruned_sorted. Self-NN is not supported here (the compacted pass
+    drops global row identity); callers keep the fixed schedule for it.
+    """
+    from .refine_pallas import refine_nn_pallas_t
+
+    dtype = ga.points.dtype
+    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    nta = ga.points.shape[0] // CHUNK
+    ncb = gb.n_chunks
+    p1 = min(p1, ncb)
+    w1 = min(p1 + b1_extra, ncb)
+
+    valid_t, lb = _tile_lower_bounds(ga, gb, n_a, nta)
+    _, cand = jax.lax.top_k(-lb, w1)
+    cand = cand.astype(jnp.int32)
+
+    q8 = qt8 if qt8 is not None else jnp.pad(
+        ga.points, ((0, 0), (0, 5))).T
+    qpad = (-nta) % 8
+    if qpad:  # seeded compacted groups need whole 8-tile groups
+        q8 = jnp.pad(q8, ((0, 0), (0, qpad * CHUNK)))
+    b8r = jnp.pad(gb.points, ((0, 0), (0, 5)))
+    borig_row = gb.perm[None, :]
+
+    # P1: probe the p1 lowest-lb chunks of every tile.
+    d1, i1 = refine_nn_pallas_t(
+        q8, b8r, borig_row, cand[:, :p1], interpret=interpret)
+    d1 = d1[: nta * CHUNK].reshape(nta, CHUNK)
+    i1 = i1[: nta * CHUNK].reshape(nta, CHUNK)
+    counts1 = _ub_counts(d1, valid_t, lb, eps)
+
+    def compact_seeded(dcur, icur, tiles, tcand, nt):
+        """Seeded refine of ``tiles`` against their ``tcand`` slots."""
+        nt_pad = ((nt + 7) // 8) * 8
+        if nt_pad != nt:
+            tiles_p = jnp.concatenate(
+                [tiles, jnp.broadcast_to(tiles[-1:], (nt_pad - nt,))])
+            tcand_p = jnp.concatenate(
+                [tcand, jnp.broadcast_to(tcand[-1:],
+                                         (nt_pad - nt, tcand.shape[1]))])
+        else:
+            tiles_p, tcand_p = tiles, tcand
+        cols = (tiles_p[:, None] * CHUNK
+                + jnp.arange(CHUNK, dtype=jnp.int32)).reshape(-1)
+        q8_o = jnp.take(q8, cols, axis=1)
+        fd, fi = refine_nn_pallas_t(
+            q8_o, b8r, borig_row, tcand_p,
+            interpret=interpret,
+            init=(dcur[tiles_p], icur[tiles_p]),
+        )
+        return (fd.reshape(nt_pad, CHUNK)[:nt],
+                fi.reshape(nt_pad, CHUNK)[:nt])
+
+    def scatter(dd, ii_, tiles, fd, fi, nt):
+        rows = (tiles[:, None] * CHUNK
+                + jnp.arange(CHUNK, dtype=jnp.int32)).reshape(nt * CHUNK)
+        return (dd.reshape(nta * CHUNK).at[rows].set(
+                    fd.reshape(nt * CHUNK)).reshape(nta, CHUNK),
+                ii_.reshape(nta * CHUNK).at[rows].set(
+                    fi.reshape(nt * CHUNK)).reshape(nta, CHUNK))
+
+    # B1: tiles whose qualifying count exceeds the probe, seeded, slots
+    # [p1, w1). Budget 5/8 of the tiles (overflow -> caller falls back to
+    # the fixed schedule; count distributions with need-fractions beyond
+    # that are where fixed-cap is the better schedule anyway).
+    overflow = jnp.asarray(False)
+    if w1 > p1:
+        ftb = max(8, (5 * nta // 8 + 7) // 8 * 8)
+        ftb = min(ftb, nta)
+        need1 = counts1 > p1
+        overflow = overflow | (jnp.sum(need1) > ftb)
+        _, btiles = jax.lax.top_k(jnp.where(need1, counts1, 0), ftb)
+        btiles = btiles.astype(jnp.int32)
+        db, ib = compact_seeded(d1, i1, btiles, cand[btiles, p1:w1], ftb)
+        d1, i1 = scatter(d1, i1, btiles, db, ib, ftb)
+        counts1 = _ub_counts(d1, valid_t, lb, eps)
+
+    # Tiers: from-scratch count-matched re-refines for the heavy tail,
+    # exactly like nn_pruned_sorted's stage 2 (certificate per tier).
+    dflat = d1.reshape(nta * CHUNK)
+    iflat = i1.reshape(nta * CHUNK).astype(jnp.int32)
+    cap2a = min(max(4 * w1, 192), ncb)
+    cap2b = min(512, ncb)
+    ft = min(256, nta)
+    need_a = counts1 > w1
+    overflow = overflow | (jnp.sum(need_a) > ft)
+    if cap2a > w1 and ft > 0:
+        _, otiles = jax.lax.top_k(jnp.where(need_a, counts1, 0), ft)
+        otiles = otiles.astype(jnp.int32)
+        _, ocand = jax.lax.top_k(-lb[otiles], cap2a)
+        fd, fi = compact_seeded(d1, i1, otiles, ocand.astype(jnp.int32), ft)
+        # Seeding tier A is exact: its candidate set (the top-cap2a lb
+        # prefix) is a superset of every earlier refined slot, so the
+        # final refined set is still one lb-ascending prefix.
+        counts2a = _ub_counts(fd, valid_t[otiles], lb[otiles], eps)
+        d1, i1 = scatter(d1, i1, otiles, fd, fi, ft)
+        if cap2b > cap2a:
+            ft2 = min(32, ft)
+            need_b = jnp.where(counts2a > cap2a, counts2a, 0)
+            overflow = overflow | (jnp.sum(need_b > 0) > ft2)
+            _, bsel = jax.lax.top_k(need_b, ft2)
+            b2tiles = otiles[bsel]
+            _, bcand = jax.lax.top_k(-lb[b2tiles], cap2b)
+            fd2, fi2 = compact_seeded(d1, i1, b2tiles,
+                                      bcand.astype(jnp.int32), ft2)
+            counts2b = _ub_counts(fd2, valid_t[b2tiles], lb[b2tiles], eps)
+            overflow = overflow | jnp.any(counts2b > cap2b)
+            d1, i1 = scatter(d1, i1, b2tiles, fd2, fi2, ft2)
+        else:
+            overflow = overflow | jnp.any(counts2a > cap2a)
+        dflat = d1.reshape(nta * CHUNK)
+        iflat = i1.reshape(nta * CHUNK).astype(jnp.int32)
+
+    return dflat, iflat, overflow

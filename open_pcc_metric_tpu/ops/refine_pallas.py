@@ -512,18 +512,29 @@ _TILES_PER_STEP = 8
 
 
 def _nn_kernel_t(cand_ref, lbc_ref, off_ref, qt_ref, *rest, exclude_self,
-                 expanded, cs=1):
+                 expanded, cs=1, has_init=False):
     tt = _TILES_PER_STEP
-    b_refs = rest[: tt * cs]
-    borig_refs = rest[tt * cs : 2 * tt * cs]
-    bestd_ref, besti_ref = rest[2 * tt * cs], rest[2 * tt * cs + 1]
+    k0 = tt * cs
+    b_refs = rest[:k0]
+    borig_refs = rest[k0 : 2 * k0]
+    k0 = 2 * k0
+    if has_init:
+        initd_ref, initi_ref = rest[k0], rest[k0 + 1]
+        k0 += 2
+    bestd_ref, besti_ref = rest[k0], rest[k0 + 1]
     i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _init():
-        bestd_ref[:] = jnp.full_like(bestd_ref, jnp.inf)
-        besti_ref[:] = jnp.full_like(besti_ref, INT_MAX)
+        if has_init:
+            # Seeded refine: continue from a previous pass's running best
+            # (sound — any refined distance upper-bounds the true NN).
+            bestd_ref[:] = initd_ref[:]
+            besti_ref[:] = initi_ref[:]
+        else:
+            bestd_ref[:] = jnp.full_like(bestd_ref, jnp.inf)
+            besti_ref[:] = jnp.full_like(besti_ref, INT_MAX)
 
     # NOTE an in-kernel certificate gate (skip a chunk when its prefetched
     # lb exceeds the tile's current inflated ub) was measured HERE and
@@ -578,7 +589,7 @@ def _nn_kernel_t(cand_ref, lbc_ref, off_ref, qt_ref, *rest, exclude_self,
 
 
 def _nn_group_t(qt8_g, tbase, b8r, borig_col, cand_g, lbc_g, exclude_self,
-                interpret, expanded=False, cs=1):
+                interpret, expanded=False, cs=1, init_g=None):
     gt, cap = cand_g.shape
     tt = _TILES_PER_STEP
     while cap % cs:
@@ -598,21 +609,25 @@ def _nn_group_t(qt8_g, tbase, b8r, borig_col, cand_g, lbc_g, exclude_self,
                 cand[i * tt + t, j * cs + c], 0)
         )
 
+    io_spec = pl.BlockSpec((tt, CHUNK), lambda i, j, cand, lbc, off: (i, 0))
     kernel = functools.partial(_nn_kernel_t, exclude_self=exclude_self,
-                               expanded=expanded, cs=cs)
+                               expanded=expanded, cs=cs,
+                               has_init=init_g is not None)
+    in_specs = (
+        [pl.BlockSpec((8, tt * CHUNK),
+                      lambda i, j, cand, lbc, off: (0, i))]
+        + [b_spec(t, c) for t in range(tt) for c in range(cs)]
+        + [bor_spec(t, c) for t in range(tt) for c in range(cs)]
+    )
+    operands = [qt8_g] + [b8r] * (tt * cs) + [borig_col] * (tt * cs)
+    if init_g is not None:
+        in_specs += [io_spec, io_spec]
+        operands += [init_g[0], init_g[1]]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # cand table, candidate lbs, tile offset
         grid=(gt // tt, cap // cs),
-        in_specs=(
-            [pl.BlockSpec((8, tt * CHUNK),
-                          lambda i, j, cand, lbc, off: (0, i))]
-            + [b_spec(t, c) for t in range(tt) for c in range(cs)]
-            + [bor_spec(t, c) for t in range(tt) for c in range(cs)]
-        ),
-        out_specs=[
-            pl.BlockSpec((tt, CHUNK), lambda i, j, cand, lbc, off: (i, 0)),
-            pl.BlockSpec((tt, CHUNK), lambda i, j, cand, lbc, off: (i, 0)),
-        ],
+        in_specs=in_specs,
+        out_specs=[io_spec, io_spec],
     )
     bestd, besti = pl.pallas_call(
         kernel,
@@ -625,8 +640,7 @@ def _nn_group_t(qt8_g, tbase, b8r, borig_col, cand_g, lbc_g, exclude_self,
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(cand_g, lbc_g, tbase, qt8_g, *([b8r] * (tt * cs)),
-      *([borig_col] * (tt * cs)))
+    )(cand_g, lbc_g, tbase, *operands)
     return bestd.reshape(gt * CHUNK), besti.reshape(gt * CHUNK)
 
 
@@ -646,6 +660,9 @@ def refine_nn_pallas_t(
     interpret: bool = False,
     expanded: bool = False,
     cs: typing.Optional[int] = None,
+    init: typing.Optional[typing.Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    # optional ((nta, CHUNK) f32, (nta, CHUNK) i32) running best to seed
+    # from (a bucketed/tiered pass continues an earlier pass's results)
 ):
     """Transposed-layout refine; same results as refine_nn_pallas.
 
@@ -697,6 +714,8 @@ def refine_nn_pallas_t(
             if q_g is None:
                 assert not expanded, (
                     "expanded packing requires qt8 padded to 8-tile groups")
+                assert init is None, (
+                    "seeded refine requires qt8 padded to 8-tile groups")
                 # tail runs through the straight-layout path instead
                 d_g, i_g = _nn_group(
                     jax.lax.slice_in_dim(
@@ -714,20 +733,35 @@ def refine_nn_pallas_t(
                 d_parts.append(d_g)
                 i_parts.append(i_g)
                 continue
+            init_g = None
+            if init is not None:
+                pad_rows = (gt + pad) - gt
+                init_g = (
+                    jnp.concatenate(
+                        [init[0][g0 : g0 + gt],
+                         jnp.zeros((pad_rows, CHUNK), jnp.float32)
+                         + jnp.inf]),
+                    jnp.concatenate(
+                        [init[1][g0 : g0 + gt],
+                         jnp.full((pad_rows, CHUNK), INT_MAX, jnp.int32)]),
+                )
             d_g, i_g = _nn_group_t(
                 q_g, jnp.array([g0], jnp.int32), b8r, borig_col, cand_g,
-                lbc_g, exclude_self, interpret, expanded, cs,
+                lbc_g, exclude_self, interpret, expanded, cs, init_g,
             )
             d_parts.append(d_g[: gt * CHUNK])
             i_parts.append(i_g[: gt * CHUNK])
         else:
+            init_g = None
+            if init is not None:
+                init_g = (init[0][g0 : g0 + gt], init[1][g0 : g0 + gt])
             d_g, i_g = _nn_group_t(
                 jax.lax.slice_in_dim(
                     qt8, g0 * CHUNK, (g0 + gt) * CHUNK, axis=1
                 ),
                 jnp.array([g0], jnp.int32), b8r, borig_col,
                 cand[g0 : g0 + gt], lbc[g0 : g0 + gt], exclude_self,
-                interpret, expanded, cs,
+                interpret, expanded, cs, init_g,
             )
             d_parts.append(d_g)
             i_parts.append(i_g)

@@ -140,3 +140,63 @@ def test_expanded_norm_refine_matches_xla(exclude_self):
     n = a.n
     np.testing.assert_array_equal(np.asarray(xd)[:n], np.asarray(pd)[:n])
     np.testing.assert_array_equal(np.asarray(xi)[:n], np.asarray(pi)[:n])
+
+
+@pytest.mark.parametrize("name_seed", [(42, 512), (7, 24)])
+def test_bucketed_schedule_bitexact(name_seed):
+    """The probe + seeded-escalation schedule must reproduce the fixed-cap
+    pipeline bit-for-bit, including on tie-heavy dense voxel clouds."""
+    from open_pcc_metric_tpu.ops.nn_pruned import (
+        nn_pruned_bucketed_sorted, nn_pruned_sorted,
+    )
+
+    seed, hi = name_seed
+    rng = np.random.default_rng(seed)
+    A = rng.integers(0, hi, (4000, 3)).astype(float)
+    B = rng.integers(0, hi, (3300, 3)).astype(float)
+    a = Cloud.from_numpy(A, dtype=jnp.float32)
+    b = Cloud.from_numpy(B, dtype=jnp.float32)
+    ga, gb = a.get_grid(), b.get_grid()
+    xd, xi, _ = nn_pruned_sorted(ga, gb, jnp.asarray(a.n),
+                                 refine_impl="xla")
+    bd, bi, ov = nn_pruned_bucketed_sorted(ga, gb, jnp.asarray(a.n),
+                                           interpret=True)
+    n = a.n
+    if bool(ov):
+        # tiny clouds can exhaust the B1 budget; exactness is then not
+        # claimed — but when the certificate passes, results are bit-equal
+        return
+    np.testing.assert_array_equal(np.asarray(xd)[:n], np.asarray(bd)[:n])
+    np.testing.assert_array_equal(np.asarray(xi)[:n], np.asarray(bi)[:n])
+
+
+def test_bucketed_small_probe_never_silently_inexact():
+    """p1=1 drives nearly every tile through the seeded buckets — beyond
+    the B1 budget on tie-heavy clouds. Whenever overflow is NOT flagged
+    the results must be bit-exact; when it is, callers fall back (the
+    'exactness is never silently lost' contract)."""
+    from open_pcc_metric_tpu.ops.nn_pruned import (
+        nn_pruned_bucketed_sorted, nn_pruned_sorted,
+    )
+
+    rng = np.random.default_rng(11)
+    A = rng.integers(0, 64, (3000, 3)).astype(float)
+    B = rng.integers(0, 64, (2500, 3)).astype(float)
+    a = Cloud.from_numpy(A, dtype=jnp.float32)
+    b = Cloud.from_numpy(B, dtype=jnp.float32)
+    ga, gb = a.get_grid(), b.get_grid()
+    xd, xi, _ = nn_pruned_sorted(ga, gb, jnp.asarray(a.n),
+                                 refine_impl="xla")
+    n = a.n
+    bd, bi, ov = nn_pruned_bucketed_sorted(
+        ga, gb, jnp.asarray(a.n), p1=1, b1_extra=63, interpret=True)
+    exact = (np.array_equal(np.asarray(xd)[:n], np.asarray(bd)[:n])
+             and np.array_equal(np.asarray(xi)[:n], np.asarray(bi)[:n]))
+    assert exact or bool(ov)
+    # A roomier probe certifies and must be bit-exact (p1 above this
+    # tie-heavy cloud's median qualifying count keeps B1 inside budget).
+    bd, bi, ov = nn_pruned_bucketed_sorted(
+        ga, gb, jnp.asarray(a.n), p1=24, b1_extra=40, interpret=True)
+    assert not bool(ov)
+    np.testing.assert_array_equal(np.asarray(xd)[:n], np.asarray(bd)[:n])
+    np.testing.assert_array_equal(np.asarray(xi)[:n], np.asarray(bi)[:n])
