@@ -231,3 +231,33 @@ def test_run_sweep_common_pad_shares_bucket(tmp_path):
     m1, m2 = r_common[0]["metrics"], r_per[0]["metrics"]
     for k in m1:
         np.testing.assert_allclose(m1[k], m2[k], rtol=1e-6, err_msg=k)
+
+
+def test_multihost_sharding_utilities(tmp_path):
+    """shard_items partitions disjointly/completely; journals round-trip."""
+    from open_pcc_metric_tpu.parallel import multihost
+
+    items = [SweepItem(f"o{i}", f"p{i}", tag=f"t{i}") for i in range(11)]
+    shards = [multihost.shard_items(items, index=i, count=3)
+              for i in range(3)]
+    got = sorted(it.tag for sh in shards for it in sh)
+    assert got == sorted(it.tag for it in items)  # complete
+    assert sum(len(s) for s in shards) == len(items)  # disjoint
+    # deterministic round robin
+    assert [it.tag for it in shards[1]] == ["t1", "t4", "t7", "t10"]
+
+    base = str(tmp_path / "out.jsonl")
+    for i in range(3):
+        p = multihost.shard_path(base, index=i)
+        assert p.endswith(f".h{i}.jsonl")
+        with open(p, "w") as f:
+            for it in shards[i]:
+                f.write(json.dumps({"tag": it.tag}) + "\n")
+    merged = multihost.merge_journals(base, count=3)
+    with open(merged) as f:
+        tags = sorted(json.loads(line)["tag"] for line in f if line.strip())
+    assert tags == sorted(it.tag for it in items)
+
+    # init() in a single-process run degrades to standalone, quietly.
+    multihost.init()
+    assert multihost.process_count() >= 1
