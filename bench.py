@@ -35,8 +35,9 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _CACHE = os.path.join(_HERE, "BENCH_BASELINE_CPU.json")
 
 # Persistent XLA compilation cache: the axon remote-compile service has a
-# multi-minute cold start for the first compile of a process; caching the
-# executables makes repeated bench runs start in seconds.
+# multi-minute cold start for the first compile of a process. NOTE the env
+# var alone is read before user code runs here (sitecustomize imports JAX
+# first), so run_tpu() also calls utils.enable_compile_cache().
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", os.path.join(_HERE, ".jax_cache")
 )
@@ -80,6 +81,9 @@ def run_tpu(origin, reconst, with_normals=True):
     import jax.numpy as jnp
     from open_pcc_metric_tpu.cloud import Cloud
     from open_pcc_metric_tpu.ops.fused import fused_evaluate
+    from open_pcc_metric_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
 
     def make(include_normals):
         a = Cloud.from_numpy(

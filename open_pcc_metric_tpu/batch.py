@@ -134,6 +134,9 @@ def run_sweep(
     each through the axon remote-compile). ``pad="per-pair"`` restores
     individual buckets (smaller arrays; more compilations).
     """
+    from .utils import enable_compile_cache
+
+    enable_compile_cache()
     done = _read_journal(journal_path) if resume else {}
     cache = _CloudCache()
     pad_to = None

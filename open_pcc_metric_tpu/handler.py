@@ -104,7 +104,10 @@ def cli(
 
     from .evaluate import load_cloud, evaluate_pair
     from .options import CalculateOptions
+    from .utils import enable_compile_cache
     from .utils.profiling import mpoints_per_sec, trace
+
+    enable_compile_cache()
 
     options = CalculateOptions(
         color=color,

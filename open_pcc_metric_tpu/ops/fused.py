@@ -534,6 +534,12 @@ def boundary_stats(cloud, backend: str = "auto"):
     return stats
 
 
+# Remembers the certificate-passing (cap, fallback) rung per problem shape
+# so a sweep of same-shaped pairs starts at the rung that worked instead of
+# re-climbing (and re-running) the cheaper-but-overflowing rungs per pair.
+_LADDER_MEMO: dict = {}
+
+
 def fused_evaluate(
     a, b, color_scheme=None, point_to_plane=False, d2_mode="reference",
     backend: str = "auto",
@@ -580,7 +586,9 @@ def fused_evaluate(
     self_min, self_max = boundary_stats(a, backend=backend)
     mxu_ok = (backend == "pruned" and a.points.dtype == jnp.float32
               and a.mxu_exact() and b.mxu_exact())
-    cap, fallback = 32, 256
+    memo_key = (a.padded_size, b.padded_size, str(a.points.dtype),
+                color_scheme, point_to_plane, d2_mode, backend)
+    cap, fallback = _LADDER_MEMO.get(memo_key, (32, 256))
     while True:
         stats = pair_stats(
             a.points,
@@ -618,6 +626,7 @@ def fused_evaluate(
             or not bool(stats["nn_overflow"])
             or cap >= max_chunks
         ):
+            _LADDER_MEMO[memo_key] = (cap, fallback)
             break
         cap = min(cap * 4, max_chunks)
         fallback = min(fallback * 4, max_chunks)
