@@ -83,6 +83,11 @@ def estimate_normals(
     return normals_from_neighbors(points, neighbor_idx, k, n_valid=nv)
 
 
+# Working escalation rung per (padded size, k): sweeps of same-shaped
+# clouds skip the rungs that already failed their certificates.
+_LADDER_MEMO: dict = {}
+
+
 def estimate_normals_cloud(cloud, k: int = DEFAULT_KNN) -> jnp.ndarray:
     """Estimate normals reusing the Cloud's cached Morton grid.
 
@@ -100,12 +105,14 @@ def estimate_normals_cloud(cloud, k: int = DEFAULT_KNN) -> jnp.ndarray:
     g = cloud.get_grid()
     ncb = g.n_chunks
     nta = p // CHUNK
-    cap, ft = 64, 256
+    memo_key = (p, k)
+    cap, ft = _LADDER_MEMO.get(memo_key, (64, 256))
     while True:
         _, ik, overflow = knn_pruned_sorted(
             g, g, jnp.asarray(cloud.n), k, cap=cap, fallback_tiles=ft)
         # Exact iff certified or stage 1 refined every chunk.
         if not bool(overflow) or cap >= ncb:
+            _LADDER_MEMO[memo_key] = (cap, ft)
             break
         cap = min(cap * 4, ncb)
         ft = min(ft * 4, nta)
