@@ -13,7 +13,7 @@ from .options import CalculateOptions, transform_options
 from .evaluate import evaluate_files, evaluate_pair, load_cloud
 from .io import read_point_cloud, write_ply
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "Cloud",

@@ -124,6 +124,7 @@ def run_sweep(
     backend: str = "auto",
     resume: bool = True,
     pad: str = "common",
+    peak: typing.Optional[float] = None,
 ) -> typing.List[dict]:
     """Evaluate every pair, appending one JSONL record per frame.
 
@@ -169,7 +170,7 @@ def run_sweep(
                 metrics = fused_evaluate(
                     a, b, color_scheme=color_scheme,
                     point_to_plane=point_to_plane, d2_mode=d2_mode,
-                    backend=backend,
+                    backend=backend, peak=peak,
                 )
                 wall = time.perf_counter() - t0
                 rec["metrics"] = {
@@ -200,6 +201,7 @@ def run_sweep_sharded(
     dtype: str = "float32",
     resume: bool = True,
     prune: bool = True,
+    peak: typing.Optional[float] = None,
 ) -> typing.List[dict]:
     """Multi-chip sweep: dp frames per step over a ("frames","points") mesh.
 
@@ -308,11 +310,15 @@ def run_sweep_sharded(
             wall = time.perf_counter() - t0
 
             for f, (it, ro, rp) in enumerate(raws[:real]):
-                peak = float(np.max(minimal_obb_extent(ro.points)))
+                extent_peak = (
+                    float(np.max(minimal_obb_extent(ro.points)))
+                    if peak is None else float(peak)
+                )
                 metrics = finalize_stats(
-                    {k: v[f] for k, v in stats.items()}, peak,
+                    {k: v[f] for k, v in stats.items()}, extent_peak,
                     color_scheme=color_scheme,
                     point_to_plane=point_to_plane,
+                    peak=peak,
                 )
                 rec = {
                     "tag": it.tag, "ocloud": it.ocloud, "pcloud": it.pcloud,
@@ -355,6 +361,9 @@ def _cli():
     @click.option("--backend",
                   type=click.Choice(["auto", "pruned", "pallas", "jnp"]),
                   default="auto", show_default=True)
+    @click.option("--peak", "--resolution", type=float, default=None,
+                  help="User-supplied geometric-PSNR peak (pc_error's "
+                       "--resolution convention).")
     @click.option("--no-resume", is_flag=True,
                   help="Re-evaluate frames already in the journal.")
     @click.option("--sharded", is_flag=True,
@@ -362,7 +371,7 @@ def _cli():
     @click.option("--dp", type=int, default=None,
                   help="Frame-parallel groups in sharded mode.")
     def cli(manifest, ocloud_dir, pcloud_dir, journal, color, point_to_plane,
-            d2_mode, dtype, backend, no_resume, sharded, dp):
+            d2_mode, dtype, backend, peak, no_resume, sharded, dp):
         """Evaluate a sequence of cloud pairs with journal + resume."""
         if manifest:
             items = pairs_from_manifest(manifest)
@@ -376,13 +385,13 @@ def _cli():
             results = run_sweep_sharded(
                 items, journal, dp=dp, color_scheme=color,
                 point_to_plane=point_to_plane, d2_mode=d2_mode, dtype=dtype,
-                resume=not no_resume,
+                resume=not no_resume, peak=peak,
             )
         else:
             results = run_sweep(
                 items, journal, color_scheme=color,
                 point_to_plane=point_to_plane, d2_mode=d2_mode, dtype=dtype,
-                backend=backend, resume=not no_resume,
+                backend=backend, resume=not no_resume, peak=peak,
             )
         ok = sum(1 for r in results if "error" not in r)
         click.echo(f"{ok}/{len(results)} frames evaluated -> {journal}")

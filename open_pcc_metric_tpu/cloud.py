@@ -167,6 +167,24 @@ class Cloud:
             self._grid = g
         return g
 
+    def get_normals(self) -> jnp.ndarray:
+        """Padded normals: from the file, else estimated (and cached).
+
+        Mirrors the reference's estimate-if-missing behaviour (reference
+        cloud_pair.py:61-64, Open3D default 30-NN PCA) at Cloud granularity;
+        the estimate depends only on this cloud's points, so it is cached
+        like the grid/OBB and shared across every pair the cloud joins.
+        """
+        if self.normals is not None:
+            return self.normals
+        est = getattr(self, "_est_normals", None)
+        if est is None:
+            from .ops.normals import estimate_normals_cloud
+
+            est = estimate_normals_cloud(self)
+            self._est_normals = est
+        return est
+
     def valid_mask(self) -> jnp.ndarray:
         idx = jnp.arange(self.padded_size)
         return idx < self.n

@@ -108,17 +108,14 @@ class CloudPair:
             c = self.clouds[index]
             if c.has_normals():
                 self._normals_cache[index] = c.normals
-            else:
+            elif self._knn_normals == normal_ops.DEFAULT_KNN:
                 # Cloud-level cache: estimated normals depend only on the
                 # cloud and are reused across pairs (QP sweeps).
-                est = getattr(c, "_est_normals", None)
-                if est is None or self._knn_normals != normal_ops.DEFAULT_KNN:
-                    est = normal_ops.estimate_normals_cloud(
-                        c, k=self._knn_normals
-                    )
-                    if self._knn_normals == normal_ops.DEFAULT_KNN:
-                        c._est_normals = est
-                self._normals_cache[index] = est
+                self._normals_cache[index] = c.get_normals()
+            else:
+                self._normals_cache[index] = normal_ops.estimate_normals_cloud(
+                    c, k=self._knn_normals
+                )
         return self._normals_cache[index]
 
     # ----------------------------------------------------- reference surface

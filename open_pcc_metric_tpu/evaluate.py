@@ -76,6 +76,7 @@ def _evaluate_pair_fused(
         point_to_plane=options.point_to_plane,
         d2_mode=options.d2_mode,
         backend=backend,
+        peak=options.peak,
     )
 
     def value_for(m) -> typing.Any:

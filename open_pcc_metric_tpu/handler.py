@@ -4,8 +4,9 @@ Reference surface (open_pcc_metric/handler.py:4-43):
   --ocloud --pcloud --color {rgb,ycc} --hausdorff --point-to-plane --csv
 
 Extensions: --color yuv (library-only in the reference), --color-hausdorff,
---d2-mode {reference,pc_error}, --dtype, --backend, and the ``sweep`` batch
-command (see batch.py) for whole-sequence evaluation.
+--d2-mode {reference,pc_error}, --peak/--resolution (pc_error's PSNR peak
+convention), --dtype, --backend, and the ``sweep`` batch command (see
+batch.py) for whole-sequence evaluation.
 """
 from __future__ import annotations
 
@@ -54,6 +55,18 @@ import click
     help="Normal convention for point-to-plane (D2) projection.",
 )
 @click.option(
+    "--peak",
+    "--resolution",
+    required=False,
+    type=float,
+    default=None,
+    help=(
+        "User-supplied signal peak for every geometric PSNR (pc_error's "
+        "--resolution convention) instead of the reference's OBB-extent / "
+        "intra-NN-distance peaks."
+    ),
+)
+@click.option(
     "--dtype",
     required=False,
     type=click.Choice(["float32", "float64"]),
@@ -94,6 +107,7 @@ def cli(
     csv: bool,
     color_hausdorff: bool,
     d2_mode: str,
+    peak: float,
     dtype: str,
     backend: str,
     trace_dir: str,
@@ -115,6 +129,7 @@ def cli(
         point_to_plane=point_to_plane,
         color_hausdorff=color_hausdorff,
         d2_mode=d2_mode,
+        peak=peak,
     )
     a = load_cloud(ocloud, dtype=dtype)
     b = load_cloud(pcloud, dtype=dtype)

@@ -1,10 +1,13 @@
-"""Host-side point-cloud file IO: PLY (ascii/binary), PCD (ascii/binary), XYZ.
+"""Host-side point-cloud IO: PLY (ascii/binary), PCD (ascii/binary), PTS, XYZ.
 
 Role parity: the reference delegates to ``o3d.io.read_point_cloud``
 (reference: open_pcc_metric/handler.py:57). Semantics reproduced here:
   * points returned as float64 (N, 3),
   * uchar colour properties are normalised to [0, 1] by /255 (Open3D convention),
-  * normals are returned when present.
+  * normals are returned when present,
+  * real-world PLY layouts accepted: vertex element not first (preceding
+    elements skipped, including binary list rows), list properties inside
+    the vertex element (skipped per row), trailing elements ignored.
 
 The binary-PLY fast path is a single ``np.frombuffer`` over a structured dtype
 (near-memcpy speed); an optional native C parser for huge ASCII files lives in
@@ -48,13 +51,15 @@ _COLOR_TRIPLES = [("red", "green", "blue"), ("r", "g", "b"),
 
 
 def read_point_cloud(path: typing.Union[str, os.PathLike]) -> RawCloud:
-    """Read a point cloud by extension (.ply, .pcd, .xyz/.xyzrgb/.txt)."""
+    """Read a point cloud by extension (.ply, .pcd, .pts, .xyz/.xyzrgb/.txt)."""
     path = os.fspath(path)
     ext = os.path.splitext(path)[1].lower()
     if ext == ".ply":
         return _read_ply(path)
     if ext == ".pcd":
         return _read_pcd(path)
+    if ext == ".pts":
+        return _read_pts(path)
     if ext in (".xyz", ".xyzrgb", ".xyzn", ".txt"):
         return _read_xyz(path, ext)
     raise ValueError(f"unsupported point-cloud format: {ext!r}")
@@ -103,27 +108,47 @@ def _read_ply(path: str) -> RawCloud:
     vtx = next((e for e in elements if e[0] == "vertex"), None)
     if vtx is None:
         raise ValueError(f"{path}: PLY has no vertex element")
-    if elements[0][0] != "vertex" and elements.index(vtx) != 0:
-        # Only support vertex-first layouts (the overwhelmingly common case).
-        raise ValueError(f"{path}: vertex element is not first; unsupported layout")
+    vtx_i = elements.index(vtx)
     _, count, props = vtx
-    if any(p[0] == "__list__" for p in props):
-        raise ValueError(f"{path}: list property inside vertex element unsupported")
+    has_list = any(p[0] == "__list__" for p in props)
+    scalar_props = [p for p in props if p[0] != "__list__"]
+
+    with open(path, "rb") as f:
+        f.seek(body_offset)
+        blob = f.read()
 
     if fmt == "ascii":
-        data = _read_ply_ascii_vertices(path, body_offset, count, props)
+        # Skip rows of elements declared before vertex (one text row each).
+        pos = 0
+        for e in elements[:vtx_i]:
+            for _ in range(e[1]):
+                nl = blob.find(b"\n", pos)
+                if nl < 0:
+                    raise ValueError(f"{path}: truncated PLY body")
+                pos = nl + 1
+        if has_list:
+            data = _read_ply_ascii_vertices_with_lists(
+                blob[pos:], count, props, path)
+        else:
+            data = _read_ply_ascii_vertices(path, blob[pos:], count, props)
     else:
         endian = "<" if fmt == "binary_little_endian" else ">"
-        np_dtype = np.dtype([(name, endian + _PLY_DTYPES[t]) for name, t in props])
-        with open(path, "rb") as f:
-            f.seek(body_offset)
-            buf = f.read(np_dtype.itemsize * count)
-        if len(buf) < np_dtype.itemsize * count:
-            raise ValueError(f"{path}: truncated PLY body")
-        data = np.frombuffer(buf, dtype=np_dtype, count=count)
+        pos = 0
+        for e in elements[:vtx_i]:
+            pos = _skip_ply_binary_element(blob, pos, e, endian, path)
+        if has_list:
+            data = _read_ply_binary_vertices_with_lists(
+                blob, pos, count, props, endian, path)
+        else:
+            np_dtype = np.dtype(
+                [(name, endian + _PLY_DTYPES[t]) for name, t in props])
+            if len(blob) - pos < np_dtype.itemsize * count:
+                raise ValueError(f"{path}: truncated PLY body")
+            data = np.frombuffer(blob, dtype=np_dtype, count=count,
+                                 offset=pos)
 
-    names = [p[0] for p in props]
-    types = {p[0]: p[1] for p in props}
+    names = [p[0] for p in scalar_props]
+    types = {p[0]: p[1] for p in scalar_props}
 
     def col(name):
         return np.asarray(data[name], dtype=np.float64)
@@ -150,13 +175,11 @@ def _read_ply(path: str) -> RawCloud:
     return RawCloud(points=points, colors=colors, normals=normals)
 
 
-def _read_ply_ascii_vertices(path, body_offset, count, props):
+def _read_ply_ascii_vertices(path, body, count, props):
+    """List-free vertex rows: one flat numeric scan (native fast path)."""
     ncols = len(props)
-    with open(path, "rb") as f:
-        f.seek(body_offset)
-        body = f.read()
-    # Native fast path: scan exactly count*ncols numbers from the body (the
-    # vertex element comes first; faces etc. follow and are ignored).
+    # Native fast path: scan exactly count*ncols numbers from the body
+    # (anything after the vertex rows — faces etc. — is ignored).
     from .. import native
 
     flat = native.parse_floats(body, count * ncols)
@@ -170,6 +193,86 @@ def _read_ply_ascii_vertices(path, body_offset, count, props):
                              f"(got {rows.shape}, want ({count},{ncols}))")
     names = [p[0] for p in props]
     return {name: rows[:, i] for i, name in enumerate(names)}
+
+
+def _read_ply_ascii_vertices_with_lists(body, count, props, path):
+    """Vertex rows containing list properties: per-row token walk.
+
+    Column indices are data-dependent when a list sits between scalars, so
+    each row is parsed prop-by-prop (slow path — list-in-vertex is rare;
+    matches o3d's acceptance of such files, reference handler.py:57).
+    """
+    out = {p[0]: np.empty(count, dtype=np.float64)
+           for p in props if p[0] != "__list__"}
+    lines = body.splitlines()
+    if len(lines) < count:
+        raise ValueError(f"{path}: truncated PLY body")
+    for r in range(count):
+        toks = lines[r].split()
+        i = 0
+        try:
+            for p in props:
+                if p[0] == "__list__":
+                    i += 1 + int(float(toks[i]))  # count token + members
+                else:
+                    out[p[0]][r] = float(toks[i])
+                    i += 1
+        except (IndexError, ValueError) as e:
+            raise ValueError(
+                f"{path}: malformed PLY vertex row {r}: {e}") from e
+        if i > len(toks):  # trailing list declared more members than present
+            raise ValueError(
+                f"{path}: malformed PLY vertex row {r}: "
+                f"{len(toks)} tokens, {i} expected")
+    return out
+
+
+def _skip_ply_binary_element(blob, pos, element, endian, path):
+    """Byte offset just past a binary element's rows (vertex-not-first)."""
+    _, count, props = element
+    lists = [p for p in props if p[0] == "__list__"]
+    if not lists:
+        row = sum(np.dtype(_PLY_DTYPES[t]).itemsize for _, t in props)
+        end = pos + row * count
+        if end > len(blob):
+            raise ValueError(f"{path}: truncated PLY body")
+        return end
+    # List rows have data-dependent sizes: walk row by row.
+    for _ in range(count):
+        for p in props:
+            if p[0] == "__list__":
+                cdt = np.dtype(endian + _PLY_DTYPES[p[1]])
+                if pos + cdt.itemsize > len(blob):
+                    raise ValueError(f"{path}: truncated PLY body")
+                k = int(np.frombuffer(blob, cdt, 1, pos)[0])
+                pos += cdt.itemsize + k * np.dtype(_PLY_DTYPES[p[2]]).itemsize
+            else:
+                pos += np.dtype(_PLY_DTYPES[p[1]]).itemsize
+        if pos > len(blob):
+            raise ValueError(f"{path}: truncated PLY body")
+    return pos
+
+
+def _read_ply_binary_vertices_with_lists(blob, pos, count, props, endian,
+                                         path):
+    """Binary vertex rows containing list properties: per-row walk."""
+    out = {p[0]: np.empty(count, dtype=np.float64)
+           for p in props if p[0] != "__list__"}
+    for r in range(count):
+        for p in props:
+            if p[0] == "__list__":
+                cdt = np.dtype(endian + _PLY_DTYPES[p[1]])
+                if pos + cdt.itemsize > len(blob):
+                    raise ValueError(f"{path}: truncated PLY body")
+                k = int(np.frombuffer(blob, cdt, 1, pos)[0])
+                pos += cdt.itemsize + k * np.dtype(_PLY_DTYPES[p[2]]).itemsize
+            else:
+                dt = np.dtype(endian + _PLY_DTYPES[p[1]])
+                if pos + dt.itemsize > len(blob):
+                    raise ValueError(f"{path}: truncated PLY body")
+                out[p[0]][r] = np.frombuffer(blob, dt, 1, pos)[0]
+                pos += dt.itemsize
+    return out
 
 
 def write_ply(
@@ -324,6 +427,41 @@ def _read_pcd(path: str) -> RawCloud:
 # --------------------------------------------------------------------------- XYZ
 
 
+def _read_pts(path: str) -> RawCloud:
+    """.pts scanner export: optional leading count line, then
+    ``x y z [intensity] [r g b]`` rows (o3d-compatible surface —
+    reference handler.py:57 accepts whatever o3d reads)."""
+    with open(path, "rb") as f:
+        first = f.readline().decode("ascii", errors="replace").split()
+        rest = f.read()
+    declared = None
+    if len(first) == 1:
+        try:
+            declared = int(first[0])
+            first = []
+        except ValueError:
+            pass
+    lines = rest.decode("ascii", errors="replace").splitlines()
+    if first:
+        lines.insert(0, " ".join(first))
+    mat = np.loadtxt(lines, dtype=np.float64, ndmin=2,
+                     max_rows=declared if declared is not None else None)
+    if mat.size == 0:
+        raise ValueError(f"{path}: empty .pts file")
+    if declared is not None and mat.shape[0] != declared:
+        raise ValueError(
+            f"{path}: .pts declares {declared} points, found {mat.shape[0]}")
+    points = mat[:, :3]
+    colors = None
+    if mat.shape[1] >= 7:  # x y z intensity r g b
+        colors = mat[:, 4:7]
+    elif mat.shape[1] == 6:  # x y z r g b
+        colors = mat[:, 3:6]
+    if colors is not None and colors.max() > 1.0:
+        colors = colors / 255.0
+    return RawCloud(points=points, colors=colors, normals=None)
+
+
 def _read_xyz(path: str, ext: str) -> RawCloud:
     mat = np.loadtxt(path, dtype=np.float64, ndmin=2)
     points = mat[:, :3]
@@ -355,10 +493,10 @@ def point_count(path: typing.Union[str, os.PathLike]) -> int:
     if ext == ".ply":
         with open(path, "rb") as f:
             for raw in iter(f.readline, b""):
-                line = raw.decode("ascii", "replace").strip()
-                if line.startswith("element vertex"):
-                    return int(line.split()[-1])
-                if line == "end_header":
+                parts = raw.decode("ascii", "replace").split()
+                if parts[:2] == ["element", "vertex"] and len(parts) >= 3:
+                    return int(parts[2])
+                if parts[:1] == ["end_header"]:
                     break
         raise ValueError(f"no 'element vertex' in PLY header: {path}")
     if ext == ".pcd":
@@ -370,4 +508,12 @@ def point_count(path: typing.Union[str, os.PathLike]) -> int:
                 if line.startswith("DATA"):
                     break
         raise ValueError(f"no 'POINTS' in PCD header: {path}")
+    if ext == ".pts":
+        with open(path, "rb") as f:
+            first = f.readline().decode("ascii", "replace").split()
+        if len(first) == 1:
+            try:
+                return int(first[0])
+            except ValueError:
+                pass
     return read_point_cloud(path).n

@@ -297,18 +297,44 @@ class GeoMSE(SecondaryMetric, PointToPlaneable):
 
 class GeoPSNR(SecondaryMetric, PointToPlaneable):
     """10*log10(peak^2 / MSE), peak = max(origin minimal-OBB extent) —
-    NOT pc_error's --resolution (reference: metric.py:231-247, Q4)."""
+    NOT pc_error's --resolution (reference: metric.py:231-247, Q4).
+
+    Optional ``peak`` switches to pc_error's convention: a user-supplied
+    signal peak (pc_error's --resolution), bypassing the OBB entirely.
+    """
+
+    def __init__(
+        self,
+        is_left: bool,
+        point_to_plane: typing.Union[bool, str],
+        peak: typing.Optional[float] = None,
+    ):
+        super().__init__(is_left, point_to_plane)
+        self.peak = peak
+
+    def _key(self) -> typing.Tuple:
+        # Reference key layout unchanged when peak is absent (parity C6);
+        # a user peak must split the memo slot from the OBB-peak variant.
+        k = super()._key()
+        return k if self.peak is None else k + (self.peak,)
 
     def _get_dependencies(self) -> typing.Dict[str, AbstractMetric]:
-        return {
-            "cloud_extent": CloudExtent(),
+        deps: typing.Dict[str, AbstractMetric] = {
             "geo_mse": GeoMSE(
                 is_left=self.is_left, point_to_plane=self.point_to_plane
             ),
         }
+        if self.peak is None:
+            deps["cloud_extent"] = CloudExtent()
+        return deps
 
-    def calculate(self, cloud_extent: CloudExtent, geo_mse: GeoMSE) -> None:
-        peak = np.max(cloud_extent.value)
+    def calculate(
+        self,
+        geo_mse: GeoMSE,
+        cloud_extent: typing.Optional[CloudExtent] = None,
+    ) -> None:
+        peak = self.peak if self.peak is not None \
+            else np.max(cloud_extent.value)
         with np.errstate(divide="ignore"):
             self.value = np.float64(10 * np.log10(peak**2 / geo_mse.value))
 
@@ -381,24 +407,45 @@ class GeoHausdorffDistance(SecondaryMetric, PointToPlaneable):
 
 class GeoHausdorffDistancePSNR(SecondaryMetric, PointToPlaneable):
     """10*log10(MaxSqrtDistance^2 / hausdorff) — peak from intra-origin NN
-    distances, not the OBB extent (reference: metric.py:369-386, Q4)."""
+    distances, not the OBB extent (reference: metric.py:369-386, Q4).
+
+    Optional ``peak`` switches to pc_error's user-supplied signal peak.
+    """
+
+    def __init__(
+        self,
+        is_left: bool,
+        point_to_plane: typing.Union[bool, str],
+        peak: typing.Optional[float] = None,
+    ):
+        super().__init__(is_left, point_to_plane)
+        self.peak = peak
+
+    def _key(self) -> typing.Tuple:
+        # Reference key layout unchanged when peak is absent (parity C6);
+        # a user peak must split the memo slot from the OBB-peak variant.
+        k = super()._key()
+        return k if self.peak is None else k + (self.peak,)
 
     def _get_dependencies(self) -> typing.Dict[str, AbstractMetric]:
-        return {
-            "max_sqrt": MaxSqrtDistance(),
+        deps: typing.Dict[str, AbstractMetric] = {
             "hausdorff_distance": GeoHausdorffDistance(
                 is_left=self.is_left, point_to_plane=self.point_to_plane
             ),
         }
+        if self.peak is None:
+            deps["max_sqrt"] = MaxSqrtDistance()
+        return deps
 
     def calculate(
         self,
-        max_sqrt: MaxSqrtDistance,
         hausdorff_distance: GeoHausdorffDistance,
+        max_sqrt: typing.Optional[MaxSqrtDistance] = None,
     ) -> None:
+        peak = self.peak if self.peak is not None else max_sqrt.value
         with np.errstate(divide="ignore"):
             self.value = np.float64(
-                10 * np.log10(max_sqrt.value**2 / hausdorff_distance.value)
+                10 * np.log10(peak**2 / hausdorff_distance.value)
             )
 
 

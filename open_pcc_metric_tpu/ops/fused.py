@@ -25,6 +25,7 @@ import numpy as np
 from . import nn as nn_ops
 from . import normals as normal_ops
 from .color import get_color_peak, transform_colors
+from ..utils.cache import ladder_lookup, ladder_store
 
 
 def _masked_sum(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -370,17 +371,22 @@ def finalize_stats(
     extent_peak: float,
     color_scheme: typing.Optional[str] = None,
     point_to_plane: bool = False,
+    peak: typing.Optional[float] = None,
 ) -> typing.Dict[str, np.float64]:
     """Host epilogue: MSEs, PSNRs and symmetric selections from raw sums.
 
     Reproduces the reference's peak conventions (SURVEY Q4): geometric PSNR
     peak = max OBB extent; Hausdorff PSNR peak = max intra-origin NN distance.
+    A user-supplied ``peak`` (pc_error's --resolution convention) overrides
+    BOTH geometric peaks, enabling direct comparison with published pc_error
+    numbers (reference conventions: metric.py:246, 384-386).
     """
     import jax as _jax
 
     stats = _jax.device_get(stats)  # one host transfer for all scalars
     s = {k: np.asarray(v, dtype=np.float64) for k, v in stats.items()}
     n_a, n_b = float(s["n_a"]), float(s["n_b"])
+    gpeak = float(peak) if peak is not None else extent_peak
     out: typing.Dict[str, typing.Any] = {}
     with np.errstate(divide="ignore"):
         out["min_sqrt"] = np.float64(s["self_min"])
@@ -388,14 +394,14 @@ def finalize_stats(
         mse_l, mse_r = s["d1_sse_l"] / n_a, s["d1_sse_r"] / n_b
         out["geo_mse_left"], out["geo_mse_right"] = mse_l, mse_r
         out["geo_mse_sym"] = max(mse_l, mse_r)
-        psnr_l = 10 * np.log10(extent_peak**2 / mse_l)
-        psnr_r = 10 * np.log10(extent_peak**2 / mse_r)
+        psnr_l = 10 * np.log10(gpeak**2 / mse_l)
+        psnr_r = 10 * np.log10(gpeak**2 / mse_r)
         out["geo_psnr_left"], out["geo_psnr_right"] = psnr_l, psnr_r
         out["geo_psnr_sym"] = min(psnr_l, psnr_r)
         out["geo_hausdorff_left"] = s["d1_max_l"]
         out["geo_hausdorff_right"] = s["d1_max_r"]
         out["geo_hausdorff_sym"] = max(s["d1_max_l"], s["d1_max_r"])
-        hpeak2 = out["max_sqrt"] ** 2
+        hpeak2 = gpeak**2 if peak is not None else out["max_sqrt"] ** 2
         out["geo_hausdorff_psnr_left"] = 10 * np.log10(hpeak2 / s["d1_max_l"])
         out["geo_hausdorff_psnr_right"] = 10 * np.log10(hpeak2 / s["d1_max_r"])
         out["geo_hausdorff_psnr_sym"] = min(
@@ -405,8 +411,8 @@ def finalize_stats(
             d2_l, d2_r = s["d2_sse_l"] / n_a, s["d2_sse_r"] / n_b
             out["d2_mse_left"], out["d2_mse_right"] = d2_l, d2_r
             out["d2_mse_sym"] = max(d2_l, d2_r)
-            dp_l = 10 * np.log10(extent_peak**2 / d2_l)
-            dp_r = 10 * np.log10(extent_peak**2 / d2_r)
+            dp_l = 10 * np.log10(gpeak**2 / d2_l)
+            dp_r = 10 * np.log10(gpeak**2 / d2_r)
             out["d2_psnr_left"], out["d2_psnr_right"] = dp_l, dp_r
             out["d2_psnr_sym"] = min(dp_l, dp_r)
             out["d2_hausdorff_left"] = s["d2_max_l"]
@@ -537,12 +543,14 @@ def boundary_stats(cloud, backend: str = "auto"):
 # Remembers the certificate-passing (cap, fallback) rung per problem shape
 # so a sweep of same-shaped pairs starts at the rung that worked instead of
 # re-climbing (and re-running) the cheaper-but-overflowing rungs per pair.
+# Not monotone: utils.cache.ladder_lookup retries the base rung periodically
+# so one pathological pair cannot pin the expensive rung forever.
 _LADDER_MEMO: dict = {}
 
 
 def fused_evaluate(
     a, b, color_scheme=None, point_to_plane=False, d2_mode="reference",
-    backend: str = "auto",
+    backend: str = "auto", peak: typing.Optional[float] = None,
 ) -> typing.Dict[str, np.float64]:
     """Full fused evaluation of a Cloud pair (bench / batch fast path)."""
     if backend == "auto":
@@ -557,17 +565,9 @@ def fused_evaluate(
         )
     a_nrm, b_nrm = a.normals, b.normals
     if point_to_plane:
-        # Estimated normals depend only on the cloud: cache like grids/OBB.
-        if a_nrm is None:
-            a_nrm = getattr(a, "_est_normals", None)
-            if a_nrm is None:
-                a_nrm = normal_ops.estimate_normals_cloud(a)
-                a._est_normals = a_nrm
-        if b_nrm is None:
-            b_nrm = getattr(b, "_est_normals", None)
-            if b_nrm is None:
-                b_nrm = normal_ops.estimate_normals_cloud(b)
-                b._est_normals = b_nrm
+        # Cloud-level cache: estimated normals depend only on the cloud.
+        a_nrm = a.get_normals()
+        b_nrm = b.get_normals()
     ga = gb = None
     a_col_sorted = b_col_sorted = None
     a_nrm_sorted = b_nrm_sorted = None
@@ -588,7 +588,7 @@ def fused_evaluate(
               and a.mxu_exact() and b.mxu_exact())
     memo_key = (a.padded_size, b.padded_size, str(a.points.dtype),
                 color_scheme, point_to_plane, d2_mode, backend)
-    cap, fallback = _LADDER_MEMO.get(memo_key, (32, 256))
+    cap, fallback = ladder_lookup(_LADDER_MEMO, memo_key, (32, 256))
     while True:
         stats = pair_stats(
             a.points,
@@ -626,7 +626,7 @@ def fused_evaluate(
             or not bool(stats["nn_overflow"])
             or cap >= max_chunks
         ):
-            _LADDER_MEMO[memo_key] = (cap, fallback)
+            ladder_store(_LADDER_MEMO, memo_key, (cap, fallback))
             break
         cap = min(cap * 4, max_chunks)
         fallback = min(fallback * 4, max_chunks)
@@ -634,7 +634,11 @@ def fused_evaluate(
     stats["self_min"], stats["self_max"] = jax.device_get(
         (self_min, self_max)
     )
-    peak = float(np.max(a.get_obb_extent()))
+    # User peak (pc_error --resolution) skips the OBB entirely.
+    extent_peak = (
+        float(np.max(a.get_obb_extent())) if peak is None else float(peak)
+    )
     return finalize_stats(
-        stats, peak, color_scheme=color_scheme, point_to_plane=point_to_plane
+        stats, extent_peak, color_scheme=color_scheme,
+        point_to_plane=point_to_plane, peak=peak
     )

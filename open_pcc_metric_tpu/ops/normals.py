@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from .knn import knn
 from .eigh3 import smallest_eigenvector_sym3
+from ..utils.cache import ladder_lookup, ladder_store
 
 DEFAULT_KNN = 30
 
@@ -84,7 +85,8 @@ def estimate_normals(
 
 
 # Working escalation rung per (padded size, k): sweeps of same-shaped
-# clouds skip the rungs that already failed their certificates.
+# clouds skip the rungs that already failed their certificates. Periodic
+# base-rung retry via utils.cache.ladder_lookup keeps it non-monotone.
 _LADDER_MEMO: dict = {}
 
 
@@ -106,13 +108,13 @@ def estimate_normals_cloud(cloud, k: int = DEFAULT_KNN) -> jnp.ndarray:
     ncb = g.n_chunks
     nta = p // CHUNK
     memo_key = (p, k)
-    cap, ft = _LADDER_MEMO.get(memo_key, (64, 256))
+    cap, ft = ladder_lookup(_LADDER_MEMO, memo_key, (64, 256))
     while True:
         _, ik, overflow = knn_pruned_sorted(
             g, g, jnp.asarray(cloud.n), k, cap=cap, fallback_tiles=ft)
         # Exact iff certified or stage 1 refined every chunk.
         if not bool(overflow) or cap >= ncb:
-            _LADDER_MEMO[memo_key] = (cap, ft)
+            ladder_store(_LADDER_MEMO, memo_key, (cap, ft))
             break
         cap = min(cap * 4, ncb)
         ft = min(ft * 4, nta)

@@ -38,6 +38,7 @@ class CalculateOptions:
     point_to_plane: bool
     color_hausdorff: bool
     d2_mode: str
+    peak: typing.Optional[float]
 
     def __init__(
         self,
@@ -46,16 +47,23 @@ class CalculateOptions:
         point_to_plane: bool = False,
         color_hausdorff: bool = False,
         d2_mode: str = "reference",
+        peak: typing.Optional[float] = None,
     ):
         if color is not None and color not in ("rgb", "ycc", "yuv"):
             raise ValueError(f"unknown color scheme {color!r}")
         if d2_mode not in ("reference", "pc_error"):
             raise ValueError(f"unknown d2_mode {d2_mode!r}")
+        if peak is not None and not peak > 0:
+            raise ValueError(f"peak must be positive, got {peak!r}")
         self.color = color
         self.hausdorff = hausdorff
         self.point_to_plane = point_to_plane
         self.color_hausdorff = color_hausdorff
         self.d2_mode = d2_mode
+        # pc_error's --resolution convention: a user-supplied signal peak for
+        # every geometric PSNR (D1/D2 and Hausdorff), instead of the
+        # reference's OBB-extent / intra-NN-distance peaks (SURVEY Q4).
+        self.peak = float(peak) if peak is not None else None
 
 
 def _sym(cls, is_proportional, **kw) -> SymmetricMetric:
@@ -72,6 +80,7 @@ def transform_options(
     p2p: typing.Union[bool, str] = (
         "pc_error" if options.d2_mode == "pc_error" else True
     )
+    pk = options.peak
 
     metrics: typing.List[AbstractMetric] = [
         MinSqrtDistance(),
@@ -79,9 +88,9 @@ def transform_options(
         GeoMSE(is_left=True, point_to_plane=False),
         GeoMSE(is_left=False, point_to_plane=False),
         _sym(GeoMSE, False, point_to_plane=False),
-        GeoPSNR(is_left=True, point_to_plane=False),
-        GeoPSNR(is_left=False, point_to_plane=False),
-        _sym(GeoPSNR, True, point_to_plane=False),
+        GeoPSNR(is_left=True, point_to_plane=False, peak=pk),
+        GeoPSNR(is_left=False, point_to_plane=False, peak=pk),
+        _sym(GeoPSNR, True, point_to_plane=False, peak=pk),
     ]
 
     if options.color is not None:
@@ -100,9 +109,9 @@ def transform_options(
             GeoMSE(is_left=True, point_to_plane=p2p),
             GeoMSE(is_left=False, point_to_plane=p2p),
             _sym(GeoMSE, False, point_to_plane=p2p),
-            GeoPSNR(is_left=True, point_to_plane=p2p),
-            GeoPSNR(is_left=False, point_to_plane=p2p),
-            _sym(GeoPSNR, True, point_to_plane=p2p),
+            GeoPSNR(is_left=True, point_to_plane=p2p, peak=pk),
+            GeoPSNR(is_left=False, point_to_plane=p2p, peak=pk),
+            _sym(GeoPSNR, True, point_to_plane=p2p, peak=pk),
         ]
 
     if options.hausdorff:
@@ -110,9 +119,12 @@ def transform_options(
             GeoHausdorffDistance(is_left=True, point_to_plane=False),
             GeoHausdorffDistance(is_left=False, point_to_plane=False),
             _sym(GeoHausdorffDistance, False, point_to_plane=False),
-            GeoHausdorffDistancePSNR(is_left=True, point_to_plane=False),
-            GeoHausdorffDistancePSNR(is_left=False, point_to_plane=False),
-            _sym(GeoHausdorffDistancePSNR, True, point_to_plane=False),
+            GeoHausdorffDistancePSNR(is_left=True, point_to_plane=False,
+                                     peak=pk),
+            GeoHausdorffDistancePSNR(is_left=False, point_to_plane=False,
+                                     peak=pk),
+            _sym(GeoHausdorffDistancePSNR, True, point_to_plane=False,
+                 peak=pk),
         ]
 
     if options.hausdorff and options.point_to_plane:
@@ -121,10 +133,12 @@ def transform_options(
         metrics += [
             GeoHausdorffDistance(is_left=True, point_to_plane=p2p),
             GeoHausdorffDistance(is_left=False, point_to_plane=p2p),
-            GeoHausdorffDistancePSNR(is_left=True, point_to_plane=p2p),
-            GeoHausdorffDistancePSNR(is_left=False, point_to_plane=p2p),
+            GeoHausdorffDistancePSNR(is_left=True, point_to_plane=p2p,
+                                     peak=pk),
+            GeoHausdorffDistancePSNR(is_left=False, point_to_plane=p2p,
+                                     peak=pk),
             _sym(GeoHausdorffDistance, False, point_to_plane=p2p),
-            _sym(GeoHausdorffDistancePSNR, True, point_to_plane=p2p),
+            _sym(GeoHausdorffDistancePSNR, True, point_to_plane=p2p, peak=pk),
         ]
 
     if options.color is not None and options.color_hausdorff:

@@ -85,9 +85,12 @@ def ring_nn(
     zq = _zrow_like(a_loc)  # (Na_loc,) carry seed with the right vma
     best_d = zq + jnp.asarray(jnp.inf, dtype)
     best_i = zq.astype(jnp.int32)
+    # Seed = query-derived zeros broadcast against payload-derived zeros, so
+    # the carry inherits BOTH operands' varying-axis attributes and any
+    # payload rank works (rows are overwritten before first read).
     best_pay = tuple(
-        (zq[:, None] if p.ndim > 1 else zq).astype(p.dtype)
-        + jnp.zeros_like(p[:1] if p.ndim == 1 else p[:1, :] * 0)[0]
+        zq.reshape(zq.shape + (1,) * (p.ndim - 1)).astype(p.dtype)
+        + jnp.zeros_like(p[0])
         for p in payloads)
 
     def step(carry, s):
@@ -107,7 +110,7 @@ def ring_nn(
         best_i = jnp.where(better, gidx, best_i)
         new_pay = tuple(
             jnp.where(
-                better[:, None] if p.ndim > 1 else better,
+                better.reshape(better.shape + (1,) * (p.ndim - 1)),
                 jnp.take(pc, idx, axis=0),
                 p,
             )
@@ -616,6 +619,20 @@ def _frame_stats_sorted(
 
     overflows = []
     need_nn_normals = point_to_plane and d2_mode == "pc_error"
+    if point_to_plane and d2_mode == "reference" and (
+        nrm_for_a is None or nrm_for_b is None
+    ):
+        # In-mesh ring estimation yields normals in each cloud's OWN sorted
+        # shard order; reference-mode (Q3) positional pairing needs the
+        # OPPOSITE cloud's normals at the query's original row, which only
+        # pack_sorted_frames can pre-gather host-side. Fail loudly instead
+        # of multiplying None (ADVICE r2 high).
+        raise ValueError(
+            "reference-mode D2 on sorted shards requires pre-gathered "
+            "positional normals (nrm_for_a/nrm_for_b); pack frames with "
+            "pack_sorted_frames(point_to_plane=True, d2_mode='reference') "
+            "or use d2_mode='pc_error'"
+        )
     if point_to_plane and a_nrm_s is None:
         a_nrm_s, ovf = ring_normals_pruned(a_s, a_lo, a_hi, n_a, cap=cap)
         overflows.append(ovf)
@@ -753,16 +770,25 @@ def pack_sorted_frames(
         if color_scheme is not None:
             frames["a_col_s"].append(np_take(a.colors, ga.perm))
             frames["b_col_s"].append(np_take(b.colors, gb.perm))
-        if point_to_plane and a.normals is not None \
-                and b.normals is not None:
-            frames["a_nrm_s"].append(np_take(a.normals, ga.perm))
-            frames["b_nrm_s"].append(np_take(b.normals, gb.perm))
+        if point_to_plane:
+            # Always pack normals for EVERY frame (all-or-nothing across the
+            # group — a mixed group would stack fewer normal rows than the
+            # frames axis and break shard alignment). Frames whose files
+            # carry no normals use the Cloud-cached estimate, matching the
+            # single-chip estimate-if-missing path (reference
+            # cloud_pair.py:61-64); reference-mode positional pairing needs
+            # them host-side anyway (nrm_for_* below). Callers who want
+            # in-mesh ring estimation instead (pc_error mode, giant clouds)
+            # can delete a_nrm_s/b_nrm_s from the packed dict.
+            an, bn = a.get_normals(), b.get_normals()
+            frames["a_nrm_s"].append(np_take(an, ga.perm))
+            frames["b_nrm_s"].append(np_take(bn, gb.perm))
             if d2_mode == "reference":
                 # Q3 positional pairing: normals of the OPPOSITE cloud at
                 # the query's ORIGINAL row, pre-gathered into query-sorted
                 # order so they shard with the queries.
-                frames["nrm_for_a"].append(np_take(b.normals, ga.perm))
-                frames["nrm_for_b"].append(np_take(a.normals, gb.perm))
+                frames["nrm_for_a"].append(np_take(bn, ga.perm))
+                frames["nrm_for_b"].append(np_take(an, gb.perm))
     packed = {}
     for k, v in frames.items():
         if not v:

@@ -15,6 +15,33 @@ import os
 import typing
 
 
+def ladder_lookup(memo: dict, key, base, retry: int = 64):
+    """Memoised escalation rung with periodic base-rung retry.
+
+    A plain dict memo only ever ratchets up: one pathological pair would
+    permanently pin the expensive rung for every later same-shaped pair in
+    the process (ADVICE r2). Every ``retry`` uses of an escalated rung the
+    cheap base rung is retried once; if it still overflows, the caller's
+    ladder re-escalates and ``ladder_store`` restarts the clock.
+    """
+    ent = memo.get(key)
+    if ent is None:
+        return base
+    rung, uses = ent
+    if rung != base and uses >= retry:
+        return base
+    return rung
+
+
+def ladder_store(memo: dict, key, rung) -> None:
+    """Record the rung that certified; count repeat uses for ladder_lookup."""
+    ent = memo.get(key)
+    if ent is not None and ent[0] == rung:
+        memo[key] = (rung, ent[1] + 1)
+    else:
+        memo[key] = (rung, 0)
+
+
 def enable_compile_cache(
     directory: typing.Optional[str] = None,
 ) -> str:

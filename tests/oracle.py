@@ -83,8 +83,13 @@ def full_metrics(
     point_to_plane=False,
     hausdorff=False,
     d2_mode="reference",
+    peak=None,
 ):
-    """All reference metrics as a flat dict of float64 values."""
+    """All reference metrics as a flat dict of float64 values.
+
+    ``peak`` overrides both geometric PSNR peaks (pc_error's --resolution
+    convention); default is the reference's OBB / intra-NN conventions.
+    """
     out = {}
     idx0, d0 = nn_bruteforce(pts0, pts1)
     idx1, d1 = nn_bruteforce(pts1, pts0)
@@ -94,8 +99,9 @@ def full_metrics(
     out["min_sqrt"] = boundary.min()
     out["max_sqrt"] = boundary.max()
 
+    user_peak = peak
     extent = minimal_obb_extent(pts0)
-    peak = extent.max()
+    peak = user_peak if user_peak is not None else extent.max()
 
     mse0 = d0.mean()
     mse1 = d1.mean()
@@ -113,8 +119,9 @@ def full_metrics(
         out["geo_hausdorff_left"] = h0
         out["geo_hausdorff_right"] = h1
         out["geo_hausdorff_sym"] = max(h0, h1)
-        hp0 = 10 * np.log10(out["max_sqrt"] ** 2 / h0)
-        hp1 = 10 * np.log10(out["max_sqrt"] ** 2 / h1)
+        hpeak2 = peak**2 if user_peak is not None else out["max_sqrt"] ** 2
+        hp0 = 10 * np.log10(hpeak2 / h0)
+        hp1 = 10 * np.log10(hpeak2 / h1)
         out["geo_hausdorff_psnr_left"] = hp0
         out["geo_hausdorff_psnr_right"] = hp1
         out["geo_hausdorff_psnr_sym"] = min(hp0, hp1)
@@ -147,8 +154,8 @@ def full_metrics(
             out["d2_hausdorff_left"] = p0.max()
             out["d2_hausdorff_right"] = p1.max()
             out["d2_hausdorff_sym"] = max(p0.max(), p1.max())
-            hh0 = 10 * np.log10(out["max_sqrt"] ** 2 / p0.max())
-            hh1 = 10 * np.log10(out["max_sqrt"] ** 2 / p1.max())
+            hh0 = 10 * np.log10(hpeak2 / p0.max())
+            hh1 = 10 * np.log10(hpeak2 / p1.max())
             out["d2_hausdorff_psnr_left"] = hh0
             out["d2_hausdorff_psnr_right"] = hh1
             out["d2_hausdorff_psnr_sym"] = min(hh0, hh1)

@@ -232,3 +232,40 @@ def test_get_neighbour_cloud_arbitrary_n():
             np.asarray(neigh.colors[: a.n]), col[oi], rtol=1e-6)
     with pytest.raises(ValueError):
         get_neighbour_cloud(a, b, n=-1)
+
+
+def test_ladder_memo_retries_base_rung():
+    """ADVICE r2 (low): the escalation-rung memo is not monotone — after
+    ``retry`` uses of an escalated rung the cheap base rung is retried."""
+    from open_pcc_metric_tpu.utils.cache import ladder_lookup, ladder_store
+
+    memo = {}
+    base, hot = (32, 256), (128, 1024)
+    assert ladder_lookup(memo, "k", base, retry=4) == base
+    ladder_store(memo, "k", hot)
+    uses = 0
+    while ladder_lookup(memo, "k", base, retry=4) == hot:
+        ladder_store(memo, "k", hot)
+        uses += 1
+        assert uses < 10
+    assert uses == 4  # base retried after exactly `retry` repeat uses
+    # A successful base run resets the memo to the cheap rung for good.
+    ladder_store(memo, "k", base)
+    assert ladder_lookup(memo, "k", base, retry=4) == base
+
+
+def test_cloud_get_normals_cached_and_file_preferred():
+    import numpy as np
+
+    from open_pcc_metric_tpu.cloud import Cloud
+
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(0, 10, (300, 3))
+    nrm = rng.normal(size=(300, 3))
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    with_file = Cloud.from_numpy(pts, normals=nrm)
+    assert with_file.get_normals() is with_file.normals
+    without = Cloud.from_numpy(pts)
+    est = without.get_normals()
+    assert est.shape == without.points.shape
+    assert without.get_normals() is est  # cached

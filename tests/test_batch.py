@@ -261,3 +261,20 @@ def test_multihost_sharding_utilities(tmp_path):
     # init() in a single-process run degrades to standalone, quietly.
     multihost.init()
     assert multihost.process_count() >= 1
+
+
+def test_point_count_rejects_prefix_element_names(tmp_path):
+    """'element vertexfoo 10' must not be read as the vertex count."""
+    from open_pcc_metric_tpu.io import point_count
+
+    p = tmp_path / "odd.ply"
+    p.write_text(
+        "ply\nformat ascii 1.0\n"
+        "element vertexfoo 10\n"
+        "property float x\n"
+        "element vertex 3\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "end_header\n"
+        + "0 0 0\n1 0 0\n0 1 0\n"
+    )
+    assert point_count(p) == 3

@@ -20,4 +20,7 @@ def test_dryrun_multichip_8():
 
 
 def test_dryrun_multichip_2():
-    graft.dryrun_multichip(2)
+    # heavy=False: the 65k routing/escalation gate already runs in the
+    # 8-device test; re-compiling it for a 2-wide ring adds minutes of
+    # suite time without new coverage.
+    graft.dryrun_multichip(2, heavy=False)

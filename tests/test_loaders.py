@@ -1,0 +1,201 @@
+"""Loader completeness: real-world PLY layouts, .pts, malformed-header fuzz.
+
+VERDICT r2 item 6. Reference surface: the reference accepts anything
+``o3d.io.read_point_cloud`` accepts (reference handler.py:57); these
+layouts appear in scanner exports and mesh files in the wild.
+"""
+import struct
+
+import numpy as np
+import pytest
+
+from open_pcc_metric_tpu.io import point_count, read_point_cloud
+
+
+PTS0 = np.array([[0.0, 0.0, 0.0], [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
+
+
+def _header(lines):
+    return ("ply\n" + "\n".join(lines) + "\nend_header\n").encode("ascii")
+
+
+# ------------------------------------------------------- layout completeness
+
+
+def test_ply_ascii_vertex_not_first(tmp_path):
+    p = tmp_path / "a.ply"
+    body = "9 9 9\n8 8 8\n" + "".join(
+        f"{x:g} {y:g} {z:g}\n" for x, y, z in PTS0)
+    p.write_bytes(_header([
+        "format ascii 1.0",
+        "element other 2",
+        "property float foo",  # two pre-vertex rows to skip
+        "property float bar",
+        "property float baz",
+        "element vertex 3",
+        "property float x", "property float y", "property float z",
+    ]) + body.encode())
+    raw = read_point_cloud(p)
+    np.testing.assert_allclose(raw.points, PTS0)
+
+
+def test_ply_binary_vertex_not_first_fixed_element(tmp_path):
+    p = tmp_path / "b.ply"
+    pre = struct.pack("<6f", *range(6))  # 2 rows x 3 floats
+    body = PTS0.astype("<f4").tobytes()
+    p.write_bytes(_header([
+        "format binary_little_endian 1.0",
+        "element other 2",
+        "property float a", "property float b", "property float c",
+        "element vertex 3",
+        "property float x", "property float y", "property float z",
+    ]) + pre + body)
+    raw = read_point_cloud(p)
+    np.testing.assert_allclose(raw.points, PTS0)
+
+
+def test_ply_binary_vertex_after_list_element(tmp_path):
+    """Faces-before-vertices: list rows have data-dependent sizes."""
+    p = tmp_path / "c.ply"
+    faces = (struct.pack("<B3i", 3, 0, 1, 2)
+             + struct.pack("<B4i", 4, 0, 1, 2, 3))
+    body = PTS0.astype("<f4").tobytes()
+    p.write_bytes(_header([
+        "format binary_little_endian 1.0",
+        "element face 2",
+        "property list uchar int vertex_indices",
+        "element vertex 3",
+        "property float x", "property float y", "property float z",
+    ]) + faces + body)
+    raw = read_point_cloud(p)
+    np.testing.assert_allclose(raw.points, PTS0)
+
+
+def test_ply_ascii_list_property_inside_vertex(tmp_path):
+    """A list between scalar props makes column indices data-dependent."""
+    p = tmp_path / "d.ply"
+    rows = [
+        "0 0 0 2 7 7 255 0 0",      # 2-member list, then rgb
+        "1 2 3 0 0 255 0",          # empty list
+        "4 5 6 3 1 2 3 0 0 255",
+    ]
+    p.write_bytes(_header([
+        "format ascii 1.0",
+        "element vertex 3",
+        "property float x", "property float y", "property float z",
+        "property list uchar int segments",
+        "property uchar red", "property uchar green", "property uchar blue",
+    ]) + ("\n".join(rows) + "\n").encode())
+    raw = read_point_cloud(p)
+    np.testing.assert_allclose(raw.points, PTS0)
+    np.testing.assert_allclose(
+        raw.colors, np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1.0]]))
+
+
+def test_ply_binary_list_property_inside_vertex(tmp_path):
+    p = tmp_path / "e.ply"
+    body = b""
+    lists = [[7, 7], [], [1, 2, 3]]
+    for (x, y, z), lst in zip(PTS0, lists):
+        body += struct.pack("<3f", x, y, z)
+        body += struct.pack(f"<B{len(lst)}i", len(lst), *lst)
+        body += struct.pack("<f", 0.5)
+    p.write_bytes(_header([
+        "format binary_little_endian 1.0",
+        "element vertex 3",
+        "property float x", "property float y", "property float z",
+        "property list uchar int segments",
+        "property float quality",
+    ]) + body)
+    raw = read_point_cloud(p)
+    np.testing.assert_allclose(raw.points, PTS0)
+
+
+@pytest.mark.parametrize("with_count", [True, False])
+@pytest.mark.parametrize("ncols", [3, 4, 6, 7])
+def test_pts_variants(tmp_path, with_count, ncols):
+    p = tmp_path / "f.pts"
+    extra = {3: "", 4: " 42", 6: " 255 128 0", 7: " 42 255 128 0"}[ncols]
+    body = "".join(f"{x:g} {y:g} {z:g}{extra}\n" for x, y, z in PTS0)
+    p.write_text((f"{len(PTS0)}\n" if with_count else "") + body)
+    raw = read_point_cloud(p)
+    np.testing.assert_allclose(raw.points, PTS0)
+    if ncols >= 6:
+        np.testing.assert_allclose(raw.colors[0], [1.0, 128 / 255.0, 0.0])
+    else:
+        assert raw.colors is None
+    if with_count:
+        assert point_count(p) == 3
+
+
+# ----------------------------------------------------- malformed-header fuzz
+
+
+@pytest.mark.parametrize("header_lines,body", [
+    # property before any element
+    (["format ascii 1.0", "property float x"], b""),
+    # no vertex element at all
+    (["format ascii 1.0", "element face 0",
+      "property list uchar int vertex_indices"], b""),
+    # missing format line
+    (["element vertex 1", "property float x", "property float y",
+      "property float z"], b"0 0 0\n"),
+    # vertex missing a coordinate property
+    (["format ascii 1.0", "element vertex 1", "property float x",
+      "property float y"], b"0 0\n"),
+    # truncated binary body
+    (["format binary_little_endian 1.0", "element vertex 4",
+      "property float x", "property float y", "property float z"],
+     b"\x00" * 12),
+    # truncated binary pre-vertex list element
+    (["format binary_little_endian 1.0", "element face 3",
+      "property list uchar int vertex_indices", "element vertex 1",
+      "property float x", "property float y", "property float z"],
+     struct.pack("<B3i", 3, 0, 1, 2)),
+    # malformed ascii list row (declared members missing)
+    (["format ascii 1.0", "element vertex 1", "property float x",
+      "property float y", "property float z",
+      "property list uchar int seg"], b"0 0 0 5 1\n"),
+])
+def test_ply_malformed_raises_valueerror(tmp_path, header_lines, body):
+    p = tmp_path / "bad.ply"
+    p.write_bytes(_header(header_lines) + body)
+    with pytest.raises(ValueError):
+        read_point_cloud(p)
+
+
+def test_ply_not_a_ply(tmp_path):
+    p = tmp_path / "bad.ply"
+    p.write_bytes(b"solid nope\n")
+    with pytest.raises(ValueError):
+        read_point_cloud(p)
+
+
+def test_ply_truncated_header(tmp_path):
+    p = tmp_path / "bad.ply"
+    p.write_bytes(b"ply\nformat ascii 1.0\nelement vertex 3\n")  # no end
+    with pytest.raises(ValueError):
+        read_point_cloud(p)
+
+
+def test_pts_count_mismatch(tmp_path):
+    p = tmp_path / "bad.pts"
+    p.write_text("5\n0 0 0\n1 1 1\n")
+    with pytest.raises(ValueError):
+        read_point_cloud(p)
+
+
+def test_faces_after_vertex_still_ignored(tmp_path):
+    """The common mesh layout (vertices then faces) keeps the fast path."""
+    p = tmp_path / "g.ply"
+    body = "".join(f"{x:g} {y:g} {z:g}\n" for x, y, z in PTS0)
+    body += "3 0 1 2\n"
+    p.write_bytes(_header([
+        "format ascii 1.0",
+        "element vertex 3",
+        "property float x", "property float y", "property float z",
+        "element face 1",
+        "property list uchar int vertex_indices",
+    ]) + body.encode())
+    raw = read_point_cloud(p)
+    np.testing.assert_allclose(raw.points, PTS0)

@@ -447,3 +447,130 @@ def test_ring_nn_pruned_work_reduction():
     # Brute force would refine 100% of foreign chunks; the bound rule
     # qualifies only a few percent on a voxel surface.
     assert frac < 0.10, f"pruning ineffective: {frac:.1%} qualify"
+
+
+@pytest.mark.parametrize("d2", ["reference", "pc_error"])
+def test_sharded_pruned_estimates_missing_normals(d2):
+    """ADVICE r2 (high): pruned sorted-shard p2p on clouds WITHOUT file
+    normals must work in both D2 modes and match the single-chip path's
+    estimate-if-missing semantics (reference cloud_pair.py:61-64)."""
+    from open_pcc_metric_tpu.parallel.sharded import (
+        pack_sorted_frames, sharded_pair_stats_pruned,
+    )
+    from open_pcc_metric_tpu.ops.fused import pair_stats
+
+    mesh = make_mesh(8, dp=2)
+    rng = np.random.default_rng(21)
+    B, p = 2, 2048
+    a_clouds, b_clouds = [], []
+    for f in range(B):
+        v = rng.normal(size=(1200 + 80 * f, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        pts0 = np.round(v * 150.0)
+        pts1 = pts0 + rng.integers(-1, 2, pts0.shape)
+        a_clouds.append(Cloud.from_numpy(pts0, pad_to=p, dtype=jnp.float32))
+        b_clouds.append(Cloud.from_numpy(pts1, pad_to=p, dtype=jnp.float32))
+
+    packed = pack_sorted_frames(a_clouds, b_clouds, point_to_plane=True,
+                                d2_mode=d2)
+    stats = sharded_pair_stats_pruned(
+        mesh, packed, point_to_plane=True, d2_mode=d2)
+    assert not bool(np.asarray(stats["nn_overflow"]).any())
+    for f in range(B):
+        a, b = a_clouds[f], b_clouds[f]
+        single = pair_stats(
+            a.points, b.points, jnp.asarray(a.n), jnp.asarray(b.n),
+            a_nrm=a.get_normals(), b_nrm=b.get_normals(),
+            point_to_plane=True, d2_mode=d2,
+        )
+        for key, val in single.items():
+            np.testing.assert_allclose(
+                np.asarray(stats[key])[f], np.asarray(val),
+                rtol=1e-5, atol=1e-7, err_msg=key)
+
+
+def test_sharded_pruned_mixed_normals_group():
+    """ADVICE r2 (medium): a group mixing normal-ful and normal-less frames
+    must stay frame-aligned (file normals where present, estimates where
+    absent) instead of stacking fewer normal rows than frames."""
+    from open_pcc_metric_tpu.parallel.sharded import (
+        pack_sorted_frames, sharded_pair_stats_pruned,
+    )
+    from open_pcc_metric_tpu.ops.fused import pair_stats
+
+    mesh = make_mesh(8, dp=2)
+    rng = np.random.default_rng(22)
+    B, p = 2, 2048
+    a_clouds, b_clouds = [], []
+    for f in range(B):
+        v = rng.normal(size=(1100, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        pts0 = np.round(v * 140.0)
+        pts1 = pts0 + rng.integers(-1, 2, pts0.shape)
+        nrm = v if f == 0 else None  # frame 1 carries no normals
+        a_clouds.append(Cloud.from_numpy(pts0, normals=nrm, pad_to=p,
+                                         dtype=jnp.float32))
+        b_clouds.append(Cloud.from_numpy(pts1, normals=nrm, pad_to=p,
+                                         dtype=jnp.float32))
+
+    packed = pack_sorted_frames(a_clouds, b_clouds, point_to_plane=True,
+                                d2_mode="reference")
+    stats = sharded_pair_stats_pruned(
+        mesh, packed, point_to_plane=True, d2_mode="reference")
+    assert not bool(np.asarray(stats["nn_overflow"]).any())
+    for f in range(B):
+        a, b = a_clouds[f], b_clouds[f]
+        single = pair_stats(
+            a.points, b.points, jnp.asarray(a.n), jnp.asarray(b.n),
+            a_nrm=a.get_normals(), b_nrm=b.get_normals(),
+            point_to_plane=True, d2_mode="reference",
+        )
+        for key, val in single.items():
+            np.testing.assert_allclose(
+                np.asarray(stats[key])[f], np.asarray(val),
+                rtol=1e-5, atol=1e-7, err_msg=key)
+
+
+def test_sharded_pruned_reference_requires_positional_normals():
+    """Dropping the pre-gathered positional normals must fail loudly, not
+    with a TypeError from None arithmetic (ADVICE r2 high)."""
+    from open_pcc_metric_tpu.parallel.sharded import (
+        pack_sorted_frames, sharded_pair_stats_pruned,
+    )
+
+    mesh = make_mesh(8, dp=1)
+    rng = np.random.default_rng(23)
+    pts0 = np.round(rng.uniform(0, 100, (900, 3)))
+    a = [Cloud.from_numpy(pts0, pad_to=2048, dtype=jnp.float32)]
+    b = [Cloud.from_numpy(pts0 + 0.5, pad_to=2048, dtype=jnp.float32)]
+    packed = pack_sorted_frames(a, b, point_to_plane=True,
+                                d2_mode="reference")
+    packed = dict(packed)
+    packed["nrm_for_a"] = packed["nrm_for_b"] = None
+    with pytest.raises(ValueError, match="positional normals"):
+        sharded_pair_stats_pruned(mesh, packed, point_to_plane=True,
+                                  d2_mode="reference")
+
+
+def test_ring_nn_payload_rank3():
+    """ADVICE r2 (low): ring_nn (public API) accepts payloads of any rank."""
+    mesh = make_mesh(8, dp=1)
+    rng = np.random.default_rng(24)
+    na, nb, p = 600, 500, 1024
+    a = _padded(rng.uniform(0, 100, (na, 3)), p)
+    b = _padded(rng.uniform(0, 100, (nb, 3)), p)
+    pay = jnp.asarray(rng.uniform(size=(p, 2, 3)))
+
+    def fn(ap, bp, pl):
+        d, i, (best,) = ring_nn(ap[0], bp[0], payloads=(pl[0],))
+        return d[None], i[None], best[None]
+
+    mapped = jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(None, "points"), P(None, "points"), P(None, "points")),
+        out_specs=P(None, "points"),
+    ))
+    _, i, got = mapped(a.points[None], b.points[None], pay[None])
+    i = np.asarray(i)[0]
+    np.testing.assert_array_equal(
+        np.asarray(got)[0][:na], np.asarray(pay)[i[:na]])
