@@ -583,12 +583,31 @@ def fused_evaluate(
         if point_to_plane:
             a_nrm_sorted = _sorted_normals(a, a_nrm)
             b_nrm_sorted = _sorted_normals(b, b_nrm)
-    self_min, self_max = boundary_stats(a, backend=backend)
+    # One-dispatch cold pairs (VERDICT r2 item 4): when the origin cloud has
+    # no cached boundary stats yet (normals estimation above may have just
+    # cached them for free), fold the self-NN pass INTO the pair_stats
+    # program instead of paying a separate ~30 ms dispatch; the result is
+    # cached on the Cloud either way so sweeps sharing a reference cloud
+    # still compute it once.
+    cached_boundary = getattr(a, "_boundary_stats", None)
+    with_boundary = cached_boundary is None
+    if with_boundary and int(a.n) < 2:
+        # Same contract as boundary_stats (documented degenerate input).
+        raise ValueError(
+            "intra-cloud NN distances need at least 2 points; the cloud "
+            f"has {int(a.n)}"
+        )
+    self_min = self_max = None
+    if not with_boundary:
+        self_min, self_max = cached_boundary
     mxu_ok = (backend == "pruned" and a.points.dtype == jnp.float32
               and a.mxu_exact() and b.mxu_exact())
+    import os as _os
+
     memo_key = (a.padded_size, b.padded_size, str(a.points.dtype),
                 color_scheme, point_to_plane, d2_mode, backend)
-    cap, fallback = ladder_lookup(_LADDER_MEMO, memo_key, (32, 256))
+    base_cap = int(_os.environ.get("PCC_NN_CAP", "32"))
+    cap, fallback = ladder_lookup(_LADDER_MEMO, memo_key, (base_cap, 256))
     while True:
         stats = pair_stats(
             a.points,
@@ -610,7 +629,7 @@ def fused_evaluate(
             color_scheme=color_scheme,
             point_to_plane=point_to_plane,
             d2_mode=d2_mode,
-            with_boundary=False,  # cached per Cloud (boundary_stats)
+            with_boundary=with_boundary,
             backend=backend,
             prune_cap=cap,
             prune_fallback=fallback,
@@ -631,9 +650,12 @@ def fused_evaluate(
         cap = min(cap * 4, max_chunks)
         fallback = min(fallback * 4, max_chunks)
     stats = dict(stats)
-    stats["self_min"], stats["self_max"] = jax.device_get(
-        (self_min, self_max)
-    )
+    if with_boundary:
+        a._boundary_stats = (stats["self_min"], stats["self_max"])
+    else:
+        stats["self_min"], stats["self_max"] = jax.device_get(
+            (self_min, self_max)
+        )
     # User peak (pc_error --resolution) skips the OBB entirely.
     extent_peak = (
         float(np.max(a.get_obb_extent())) if peak is None else float(peak)

@@ -122,17 +122,46 @@ def knn_pruned_sorted(
 
     impl = _resolve_refine_impl(refine_impl, dtype)
     if impl in ("pallas", "pallas_interpret"):
+        import os as _os
+
         from .refine_pallas import refine_knn_pallas_t
 
         qt8 = jnp.pad(ga.points, ((0, 0), (0, 5))).T
         # b side in the natural (Pb, 8) layout: a cheap pad, not a ~15 ms
         # 850k-row transpose (see refine_pallas.refine_nn_pallas_t).
         b8r = jnp.pad(gb.points, ((0, 0), (0, 5)))
-        dk, ik = refine_knn_pallas_t(
-            qt8, b8r, gb.perm[None, :], cand, k,
-            exclude_self=exclude_self,
-            interpret=(impl == "pallas_interpret"),
+        interp = impl == "pallas_interpret"
+        counted = (
+            cap > 8
+            and nta % 8 == 0
+            and _os.environ.get("PCC_KNN_SCHED", "counted") == "counted"
         )
+        if counted:
+            # Count-gated two-pass schedule (see nn_pruned_sorted): probe
+            # p1 chunks everywhere, then extend each tile IN PLACE to its
+            # certificate count via the kernel's per-tile SMEM gate,
+            # seeded from the probe's exact k-buffer.
+            p1 = 8
+            d1, i1 = refine_knn_pallas_t(
+                qt8, b8r, gb.perm[None, :], cand[:, :p1], k,
+                exclude_self=exclude_self, interpret=interp,
+            )
+            kth1 = d1.reshape(nta, CHUNK, k)[:, :, k - 1]
+            ub1 = jnp.max(jnp.where(valid_t, kth1, -jnp.inf), axis=1)
+            ub1_eff = ub1 * (1 + 8 * eps) + 8 * eps
+            counts1 = jnp.sum(lb <= ub1_eff[:, None], axis=1)
+            ncand2 = jnp.clip(counts1 - p1, 0, cap - p1).astype(jnp.int32)
+            dk, ik = refine_knn_pallas_t(
+                qt8, b8r, gb.perm[None, :], cand[:, p1:], k,
+                ncand=ncand2,
+                exclude_self=exclude_self, interpret=interp,
+                init=(d1, i1),
+            )
+        else:
+            dk, ik = refine_knn_pallas_t(
+                qt8, b8r, gb.perm[None, :], cand, k,
+                exclude_self=exclude_self, interpret=interp,
+            )
         dk = dk.reshape(nta, CHUNK, k)
         ik = ik.reshape(nta, CHUNK, k)
     else:

@@ -324,6 +324,7 @@ def nn_pruned_sorted(
         pallas_mode = True
     else:
         pallas_mode = False
+        use_expanded = False
 
     def refine_xla(q_tiles, cand, tbases, ncand, batch):
         """Min + lowest-orig-index argmin over each tile's candidate chunks."""
@@ -367,7 +368,49 @@ def nn_pruned_sorted(
     _, cand = jax.lax.top_k(-lb, cap)  # (nta, cap)
     cand = cand.astype(jnp.int32)
     tbases = jnp.arange(nta, dtype=jnp.int32)
-    dmin, gidx = refine(a_tiles, cand, tbases, cap, _pick_batch(nta))
+
+    # Count-gated two-pass schedule (default on TPU): probe the p1
+    # smallest-lb chunks of EVERY tile, derive each tile's certificate
+    # count from the probe's ub, then extend each tile IN PLACE to
+    # min(count, cap) slots via the kernel's per-tile SMEM gate — no
+    # compaction gathers (what sank the bucketed schedule) and the skipped
+    # slots cost one scalar compare. Exactness: each tile's final refined
+    # set is a prefix of its lb-ascending candidate order wide enough for
+    # its final qualifying count, or stage 2 below takes over — the same
+    # certificate argument as the fixed schedule.
+    import os as _os2
+
+    counted = (
+        pallas_mode
+        and not use_expanded
+        and cap > 8
+        and _os2.environ.get("PCC_NN_SCHED", "counted") == "counted"
+    )
+    if counted:
+        p1 = int(_os2.environ.get("PCC_NN_P1", "8"))
+        p1 = max(1, min(p1, cap - 1))
+        qpad = (-nta) % 8  # gated/seeded passes need whole 8-tile groups
+        q8c = jnp.pad(q8, ((0, 0), (0, qpad * CHUNK))) if qpad else q8
+        d1, i1 = refine_nn_pallas_t(
+            q8c, b8r, borig_row, cand[:, :p1],
+            exclude_self=exclude_self,
+            interpret=(impl == "pallas_interpret"),
+        )
+        d1 = d1[: nta * CHUNK].reshape(nta, CHUNK)
+        i1 = i1[: nta * CHUNK].reshape(nta, CHUNK)
+        counts1 = _ub_counts(d1, valid_t, lb, eps)
+        ncand2 = jnp.clip(counts1 - p1, 0, cap - p1).astype(jnp.int32)
+        d2, i2 = refine_nn_pallas_t(
+            q8c, b8r, borig_row, cand[:, p1:],
+            ncand=ncand2,
+            exclude_self=exclude_self,
+            interpret=(impl == "pallas_interpret"),
+            init=(d1, i1),
+        )
+        dmin = d2[: nta * CHUNK].reshape(nta, CHUNK)
+        gidx = i2[: nta * CHUNK].reshape(nta, CHUNK)
+    else:
+        dmin, gidx = refine(a_tiles, cand, tbases, cap, _pick_batch(nta))
 
     # ---- stage-1 exactness certificate
     ub = jnp.max(jnp.where(valid_t, dmin, -jnp.inf), axis=1)  # (nta,)

@@ -102,7 +102,7 @@ def estimate_normals_cloud(cloud, k: int = DEFAULT_KNN) -> jnp.ndarray:
     from .knn_pruned import knn_pruned_sorted
 
     p = cloud.padded_size
-    if p < 65536:  # small clouds: brute-force k-NN is cheaper than grids
+    if p < _PRUNE_THRESHOLD:  # small clouds: brute k-NN beats grids
         return estimate_normals(cloud.points, k=k, n_valid=cloud.n)
     g = cloud.get_grid()
     ncb = g.n_chunks
@@ -110,7 +110,7 @@ def estimate_normals_cloud(cloud, k: int = DEFAULT_KNN) -> jnp.ndarray:
     memo_key = (p, k)
     cap, ft = ladder_lookup(_LADDER_MEMO, memo_key, (64, 256))
     while True:
-        _, ik, overflow = knn_pruned_sorted(
+        dk, ik, overflow = knn_pruned_sorted(
             g, g, jnp.asarray(cloud.n), k, cap=cap, fallback_tiles=ft)
         # Exact iff certified or stage 1 refined every chunk.
         if not bool(overflow) or cap >= ncb:
@@ -118,6 +118,19 @@ def estimate_normals_cloud(cloud, k: int = DEFAULT_KNN) -> jnp.ndarray:
             break
         cap = min(cap * 4, ncb)
         ft = min(ft * 4, nta)
+    # Shared work (VERDICT r2 item 2): the k-NN includes the query itself at
+    # slot 0, so slot 1 IS the intra-cloud nearest-neighbour distance — the
+    # boundary stats (reference compute_nearest_neighbor_distance,
+    # cloud_pair.py:108-109) fall out of the estimation pass for free.
+    # Cache them per Cloud exactly like ops.fused.boundary_stats would.
+    if k >= 2 and int(cloud.n) >= 2 \
+            and getattr(cloud, "_boundary_stats", None) is None:
+        valid = (jnp.arange(p) < cloud.n)  # sorted row < n convention
+        d1 = jnp.sqrt(jnp.maximum(dk[:, 1], 0.0))
+        cloud._boundary_stats = (
+            jnp.min(jnp.where(valid, d1, jnp.inf)),
+            jnp.max(jnp.where(valid, d1, -jnp.inf)),
+        )
     inv = jnp.zeros(p, jnp.int32).at[g.perm].set(
         jnp.arange(p, dtype=jnp.int32))
     idx = jnp.take(ik, inv, axis=0)  # original query order, original ids

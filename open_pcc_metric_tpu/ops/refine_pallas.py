@@ -511,8 +511,8 @@ def select_candidates_pallas(
 _TILES_PER_STEP = 8
 
 
-def _nn_kernel_t(cand_ref, lbc_ref, off_ref, qt_ref, *rest, exclude_self,
-                 expanded, cs=1, has_init=False):
+def _nn_kernel_t(cand_ref, aux_ref, off_ref, qt_ref, *rest, exclude_self,
+                 expanded, cs=1, has_init=False, has_ncand=False):
     tt = _TILES_PER_STEP
     k0 = tt * cs
     b_refs = rest[:k0]
@@ -540,82 +540,107 @@ def _nn_kernel_t(cand_ref, lbc_ref, off_ref, qt_ref, *rest, exclude_self,
     # lb exceeds the tile's current inflated ub) was measured HERE and
     # reverted: the kernel is VPU-bound at ~0.3 us per (256,256) chunk tile,
     # and the gate's (1,256) max + SMEM compare + predication cost ~as much
-    # as the compute it skipped (bench 8.32 -> 7.95 Mpts/s). lbc_ref stays
-    # plumbed for future schedules.
-    del lbc_ref
+    # as the compute it skipped (bench 8.32 -> 7.95 Mpts/s). The surviving
+    # low-overhead gate is ``has_ncand``: a PRECOMPUTED per-tile slot count
+    # in the aux scalar-prefetch slot — one SMEM scalar compare per tile
+    # slot, skipping the whole (256,256) compute for slots beyond the
+    # tile's certificate-derived candidate need (the count-gated schedule
+    # in ops/nn_pruned.nn_pruned_sorted).
     q = qt_ref[:]  # (8, tt*CHUNK)
     for t, c in [(t_, c_) for t_ in range(tt) for c_ in range(cs)]:
-        b = b_refs[t * cs + c][:]  # (CHUNK, 8) candidates of tile t
-        if expanded:
-            # Expanded-norm form over augmented rows (caller packs
-            # q=[-2x,-2y,-2z,qsq], b=[x,y,z,bsq]): 4 broadcast passes
-            # (1 add + 3 fma) instead of difference-form's 6. Exact only
-            # for integer clouds within the mxu_exact bound — every
-            # partial sum is an exact f32 integer (see cloud.mxu_exact).
-            d = b[:, 3].reshape(CHUNK, 1) \
-                + q[3, t * CHUNK : (t + 1) * CHUNK].reshape(1, CHUNK)
-            for k in range(3):
-                bk = b[:, k].reshape(CHUNK, 1)
-                qk = q[k, t * CHUNK : (t + 1) * CHUNK].reshape(1, CHUNK)
-                d = bk * qk + d
+        def _tile_slot(t=t, c=c):
+            b = b_refs[t * cs + c][:]  # (CHUNK, 8) candidates of tile t
+            if expanded:
+                # Expanded-norm form over augmented rows (caller packs
+                # q=[-2x,-2y,-2z,qsq], b=[x,y,z,bsq]): 4 broadcast passes
+                # (1 add + 3 fma) instead of difference-form's 6. Exact only
+                # for integer clouds within the mxu_exact bound — every
+                # partial sum is an exact f32 integer (see cloud.mxu_exact).
+                d = b[:, 3].reshape(CHUNK, 1) \
+                    + q[3, t * CHUNK : (t + 1) * CHUNK].reshape(1, CHUNK)
+                for k in range(3):
+                    bk = b[:, k].reshape(CHUNK, 1)
+                    qk = q[k, t * CHUNK : (t + 1) * CHUNK].reshape(1, CHUNK)
+                    d = bk * qk + d
+            else:
+                d = None
+                for k in range(3):
+                    bk = b[:, k].reshape(CHUNK, 1)  # candidates down sublanes
+                    qk = q[k, t * CHUNK : (t + 1) * CHUNK].reshape(1, CHUNK)
+                    diff = bk - qk
+                    d = diff * diff if d is None else d + diff * diff
+            # d: (cand, query)
+            if exclude_self:
+                cj = cand_ref[i * tt + t, j * cs + c]
+                crow = jax.lax.broadcasted_iota(
+                    jnp.int32, (CHUNK, CHUNK), 0) + cj * CHUNK
+                qcol = jax.lax.broadcasted_iota(
+                    jnp.int32, (CHUNK, CHUNK), 1) \
+                    + (off_ref[0] + i * tt + t) * CHUNK
+                d = jnp.where(crow == qcol, jnp.inf, d)
+            dmin = jnp.min(d, axis=0, keepdims=True)  # (1, CHUNK) lane-major
+            at_min = d == dmin
+            bor = borig_refs[t * cs + c][:]  # (CHUNK, 1)
+            ii = jnp.min(
+                jnp.where(at_min, jnp.broadcast_to(bor, d.shape), INT_MAX),
+                axis=0, keepdims=True,
+            )
+            prev_d = bestd_ref[t : t + 1, :]
+            prev_i = besti_ref[t : t + 1, :]
+            better = (dmin < prev_d) | ((dmin == prev_d) & (ii < prev_i))
+            bestd_ref[t : t + 1, :] = jnp.where(better, dmin, prev_d)
+            besti_ref[t : t + 1, :] = jnp.where(better, ii, prev_i)
+
+        if has_ncand:
+            pl.when(j * cs + c < aux_ref[i * tt + t])(_tile_slot)
         else:
-            d = None
-            for k in range(3):
-                bk = b[:, k].reshape(CHUNK, 1)  # candidates down sublanes
-                qk = q[k, t * CHUNK : (t + 1) * CHUNK].reshape(1, CHUNK)
-                diff = bk - qk
-                d = diff * diff if d is None else d + diff * diff
-        # d: (cand, query)
-        if exclude_self:
-            cj = cand_ref[i * tt + t, j * cs + c]
-            crow = jax.lax.broadcasted_iota(
-                jnp.int32, (CHUNK, CHUNK), 0) + cj * CHUNK
-            qcol = jax.lax.broadcasted_iota(
-                jnp.int32, (CHUNK, CHUNK), 1) \
-                + (off_ref[0] + i * tt + t) * CHUNK
-            d = jnp.where(crow == qcol, jnp.inf, d)
-        dmin = jnp.min(d, axis=0, keepdims=True)  # (1, CHUNK) lane-major
-        at_min = d == dmin
-        bor = borig_refs[t * cs + c][:]  # (CHUNK, 1)
-        ii = jnp.min(
-            jnp.where(at_min, jnp.broadcast_to(bor, d.shape), INT_MAX),
-            axis=0, keepdims=True,
-        )
-        prev_d = bestd_ref[t : t + 1, :]
-        prev_i = besti_ref[t : t + 1, :]
-        better = (dmin < prev_d) | ((dmin == prev_d) & (ii < prev_i))
-        bestd_ref[t : t + 1, :] = jnp.where(better, dmin, prev_d)
-        besti_ref[t : t + 1, :] = jnp.where(better, ii, prev_i)
+            _tile_slot()
 
 
-def _nn_group_t(qt8_g, tbase, b8r, borig_col, cand_g, lbc_g, exclude_self,
-                interpret, expanded=False, cs=1, init_g=None):
+def _nn_group_t(qt8_g, tbase, b8r, borig_col, cand_g, aux_g, exclude_self,
+                interpret, expanded=False, cs=1, init_g=None,
+                has_ncand=False):
     gt, cap = cand_g.shape
     tt = _TILES_PER_STEP
     while cap % cs:
         cs //= 2
 
+    def _slot_idx(i, j, cand, aux, t, c):
+        row = i * tt + t
+        slot = j * cs + c
+        if not has_ncand:
+            return cand[row, slot]
+        # Gated slots re-address the tile's LAST live block: an unchanged
+        # block index means Pallas skips the copy entirely, so skipped
+        # slots cost neither VPU time (pl.when) nor DMA latency. Without
+        # this clamp the gate saves almost nothing — the pipeline stalls
+        # on each skipped slot's (useless) fetch.
+        n = aux[row]
+        eff = jnp.where(n > 0, jnp.minimum(slot, n - 1), 0)
+        return cand[row, eff]
+
     def b_spec(t, c):
         return pl.BlockSpec(
             (CHUNK, 8),
-            lambda i, j, cand, lbc, off, t=t, c=c: (
-                cand[i * tt + t, j * cs + c], 0)
+            lambda i, j, cand, aux, off, t=t, c=c: (
+                _slot_idx(i, j, cand, aux, t, c), 0)
         )
 
     def bor_spec(t, c):
         return pl.BlockSpec(
             (CHUNK, 1),
-            lambda i, j, cand, lbc, off, t=t, c=c: (
-                cand[i * tt + t, j * cs + c], 0)
+            lambda i, j, cand, aux, off, t=t, c=c: (
+                _slot_idx(i, j, cand, aux, t, c), 0)
         )
 
-    io_spec = pl.BlockSpec((tt, CHUNK), lambda i, j, cand, lbc, off: (i, 0))
+    io_spec = pl.BlockSpec((tt, CHUNK), lambda i, j, cand, aux, off: (i, 0))
     kernel = functools.partial(_nn_kernel_t, exclude_self=exclude_self,
                                expanded=expanded, cs=cs,
-                               has_init=init_g is not None)
+                               has_init=init_g is not None,
+                               has_ncand=has_ncand)
     in_specs = (
         [pl.BlockSpec((8, tt * CHUNK),
-                      lambda i, j, cand, lbc, off: (0, i))]
+                      lambda i, j, cand, aux, off: (0, i))]
         + [b_spec(t, c) for t in range(tt) for c in range(cs)]
         + [bor_spec(t, c) for t in range(tt) for c in range(cs)]
     )
@@ -624,7 +649,8 @@ def _nn_group_t(qt8_g, tbase, b8r, borig_col, cand_g, lbc_g, exclude_self,
         in_specs += [io_spec, io_spec]
         operands += [init_g[0], init_g[1]]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # cand table, candidate lbs, tile offset
+        # cand table, aux (per-tile ncand gate, else a dummy), tile offset
+        num_scalar_prefetch=3,
         grid=(gt // tt, cap // cs),
         in_specs=in_specs,
         out_specs=[io_spec, io_spec],
@@ -640,7 +666,7 @@ def _nn_group_t(qt8_g, tbase, b8r, borig_col, cand_g, lbc_g, exclude_self,
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(cand_g, lbc_g, tbase, *operands)
+    )(cand_g, aux_g, tbase, *operands)
     return bestd.reshape(gt * CHUNK), besti.reshape(gt * CHUNK)
 
 
@@ -655,7 +681,7 @@ def refine_nn_pallas_t(
     # and used to be paid TWICE per call, caller .T + callee .T back)
     borig: jnp.ndarray,  # (1, Pb)
     cand: jnp.ndarray,  # (nta, cap)
-    lbc: typing.Optional[jnp.ndarray] = None,  # (nta, cap) candidate lbs
+    ncand: typing.Optional[jnp.ndarray] = None,  # (nta,) int32 per-tile gate
     exclude_self: bool = False,
     interpret: bool = False,
     expanded: bool = False,
@@ -666,9 +692,11 @@ def refine_nn_pallas_t(
 ):
     """Transposed-layout refine; same results as refine_nn_pallas.
 
-    ``lbc`` (each candidate's bbox lower bound, lb-ascending like ``cand``)
-    is currently unused in-kernel (see the reverted-gate note) but stays in
-    the interface. With ``expanded=True`` the caller packs augmented rows
+    ``ncand`` (per-tile executed-slot count) enables the low-overhead
+    count gate: tile t only computes candidate slots < ncand[t] (one SMEM
+    scalar compare per skipped slot; the DMA still streams). The cand table
+    stays fully populated so skipped slots read a valid (ignored) block.
+    With ``expanded=True`` the caller packs augmented rows
     (q=[-2x,-2y,-2z,qsq], b=[x,y,z,bsq]) and distances use the cheaper
     expanded-norm form — exact only under cloud.mxu_exact; the caller must
     then pad qt8 to a multiple of 8 tiles (no straight-layout fallback).
@@ -678,11 +706,12 @@ def refine_nn_pallas_t(
         import os
 
         cs = int(os.environ.get("PCC_NN_CS", "1"))
-    if lbc is None:
-        # The kernel currently ignores lbc (see the reverted-gate note);
-        # a (rows, 1) dummy keeps it out of the SMEM budget.
-        lbc = jnp.zeros((nta, 1), jnp.float32)
-    lbc = lbc.astype(jnp.float32)
+    has_ncand = ncand is not None
+    if ncand is None:
+        # aux slot unused: a (rows, 1) dummy keeps it out of the SMEM budget.
+        aux = jnp.zeros((nta, 1), jnp.int32)
+    else:
+        aux = ncand.astype(jnp.int32).reshape(nta)
     borig_col = borig.reshape(-1, 1)  # (Pb, 1)
     tt = _TILES_PER_STEP
     # Scalar-prefetch tables live in ~1 MB SMEM: bound rows so
@@ -702,12 +731,17 @@ def refine_nn_pallas_t(
                  jnp.broadcast_to(cand[g0 + gt - 1 : g0 + gt], (pad, cap))],
                 axis=0,
             )
-            lbc_g = jnp.concatenate(
-                [lbc[g0 : g0 + gt],
-                 jnp.broadcast_to(lbc[g0 + gt - 1 : g0 + gt],
-                                  (pad, lbc.shape[1]))],
-                axis=0,
-            )
+            if has_ncand:
+                # pad tiles execute zero slots (their results are discarded)
+                aux_g = jnp.concatenate(
+                    [aux[g0 : g0 + gt], jnp.zeros((pad,), jnp.int32)])
+            else:
+                aux_g = jnp.concatenate(
+                    [aux[g0 : g0 + gt],
+                     jnp.broadcast_to(aux[g0 + gt - 1 : g0 + gt],
+                                      (pad, aux.shape[1]))],
+                    axis=0,
+                )
             q_g = jax.lax.dynamic_slice_in_dim(
                 qt8, g0 * CHUNK, (gt + pad) * CHUNK, axis=1,
             ) if (g0 + gt + pad) * CHUNK <= qt8.shape[1] else None
@@ -716,6 +750,8 @@ def refine_nn_pallas_t(
                     "expanded packing requires qt8 padded to 8-tile groups")
                 assert init is None, (
                     "seeded refine requires qt8 padded to 8-tile groups")
+                assert not has_ncand, (
+                    "count-gated refine requires qt8 padded to 8-tile groups")
                 # tail runs through the straight-layout path instead
                 d_g, i_g = _nn_group(
                     jax.lax.slice_in_dim(
@@ -747,7 +783,8 @@ def refine_nn_pallas_t(
                 )
             d_g, i_g = _nn_group_t(
                 q_g, jnp.array([g0], jnp.int32), b8r, borig_col, cand_g,
-                lbc_g, exclude_self, interpret, expanded, cs, init_g,
+                aux_g, exclude_self, interpret, expanded, cs, init_g,
+                has_ncand,
             )
             d_parts.append(d_g[: gt * CHUNK])
             i_parts.append(i_g[: gt * CHUNK])
@@ -760,93 +797,134 @@ def refine_nn_pallas_t(
                     qt8, g0 * CHUNK, (g0 + gt) * CHUNK, axis=1
                 ),
                 jnp.array([g0], jnp.int32), b8r, borig_col,
-                cand[g0 : g0 + gt], lbc[g0 : g0 + gt], exclude_self,
-                interpret, expanded, cs, init_g,
+                cand[g0 : g0 + gt], aux[g0 : g0 + gt], exclude_self,
+                interpret, expanded, cs, init_g, has_ncand,
             )
             d_parts.append(d_g)
             i_parts.append(i_g)
     return jnp.concatenate(d_parts), jnp.concatenate(i_parts)
 
 
-def _knn_kernel_t(cand_ref, off_ref, qt_ref, *rest, k, exclude_self):
+def _knn_kernel_t(cand_ref, aux_ref, off_ref, qt_ref, *rest, k, exclude_self,
+                  has_init=False, has_ncand=False):
     tt = _TILES_PER_STEP
     b_refs = rest[:tt]
     borig_refs = rest[tt : 2 * tt]
-    dk_ref, ik_ref = rest[2 * tt], rest[2 * tt + 1]
+    k0 = 2 * tt
+    if has_init:
+        initd_ref, initi_ref = rest[k0], rest[k0 + 1]
+        k0 += 2
+    dk_ref, ik_ref = rest[k0], rest[k0 + 1]
     i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _init():
-        dk_ref[:] = jnp.full_like(dk_ref, jnp.inf)
-        ik_ref[:] = jnp.full_like(ik_ref, INT_MAX)
+        if has_init:
+            # Seeded k-merge: continue from a previous pass's k-buffer
+            # (sound — it is the exact k-best over the already-refined
+            # prefix of the same lb-ascending candidate order).
+            dk_ref[:] = initd_ref[:]
+            ik_ref[:] = initi_ref[:]
+        else:
+            dk_ref[:] = jnp.full_like(dk_ref, jnp.inf)
+            ik_ref[:] = jnp.full_like(ik_ref, INT_MAX)
 
     q = qt_ref[:]  # (8, tt*CHUNK)
     for t in range(tt):
-        b = b_refs[t][:]  # (CHUNK, 8)
-        d = None
-        for kk in range(3):
-            bk = b[:, kk].reshape(CHUNK, 1)
-            qk = q[kk, t * CHUNK : (t + 1) * CHUNK].reshape(1, CHUNK)
-            diff = bk - qk
-            d = diff * diff if d is None else d + diff * diff
-        # d: (cand, query)
-        if exclude_self:
-            cj = cand_ref[i * tt + t, j]
-            crow = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0) \
-                + cj * CHUNK
-            qcol = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1) \
-                + (off_ref[0] + i * tt + t) * CHUNK
-            d = jnp.where(crow == qcol, jnp.inf, d)
+        def _tile_slot(t=t):
+            b = b_refs[t][:]  # (CHUNK, 8)
+            d = None
+            for kk in range(3):
+                bk = b[:, kk].reshape(CHUNK, 1)
+                qk = q[kk, t * CHUNK : (t + 1) * CHUNK].reshape(1, CHUNK)
+                diff = bk - qk
+                d = diff * diff if d is None else d + diff * diff
+            # d: (cand, query)
+            if exclude_self:
+                cj = cand_ref[i * tt + t, j]
+                crow = jax.lax.broadcasted_iota(
+                    jnp.int32, (CHUNK, CHUNK), 0) + cj * CHUNK
+                qcol = jax.lax.broadcasted_iota(
+                    jnp.int32, (CHUNK, CHUNK), 1) \
+                    + (off_ref[0] + i * tt + t) * CHUNK
+                d = jnp.where(crow == qcol, jnp.inf, d)
 
-        run_d = dk_ref[t * k : (t + 1) * k, :]  # (k, CHUNK)
-        run_i = ik_ref[t * k : (t + 1) * k, :]
-        improves = jnp.any(jnp.min(d, axis=0) < run_d[k - 1, :])
+            run_d = dk_ref[t * k : (t + 1) * k, :]  # (k, CHUNK)
+            run_i = ik_ref[t * k : (t + 1) * k, :]
+            improves = jnp.any(jnp.min(d, axis=0) < run_d[k - 1, :])
 
-        @pl.when(improves)
-        def _merge(t=t, d=d, run_d=run_d, run_i=run_i):
-            bor = jnp.broadcast_to(borig_refs[t][:], d.shape)
-            cand_d = jnp.concatenate([run_d, d], axis=0)  # (k+CHUNK, CHUNK)
-            cand_i = jnp.concatenate([run_i, bor], axis=0)
-            dcur = cand_d
-            for r in range(k):
-                m = jnp.min(dcur, axis=0, keepdims=True)  # (1, CHUNK)
-                at_min = dcur == m
-                ii = jnp.min(jnp.where(at_min, cand_i, INT_MAX), axis=0,
-                             keepdims=True)
-                dcur = jnp.where(at_min & (cand_i == ii), jnp.inf, dcur)
-                dk_ref[t * k + r : t * k + r + 1, :] = m
-                ik_ref[t * k + r : t * k + r + 1, :] = ii
+            @pl.when(improves)
+            def _merge(t=t, d=d, run_d=run_d, run_i=run_i):
+                bor = jnp.broadcast_to(borig_refs[t][:], d.shape)
+                cand_d = jnp.concatenate([run_d, d], axis=0)  # (k+C, CHUNK)
+                cand_i = jnp.concatenate([run_i, bor], axis=0)
+                dcur = cand_d
+                for r in range(k):
+                    m = jnp.min(dcur, axis=0, keepdims=True)  # (1, CHUNK)
+                    at_min = dcur == m
+                    ii = jnp.min(jnp.where(at_min, cand_i, INT_MAX), axis=0,
+                                 keepdims=True)
+                    dcur = jnp.where(at_min & (cand_i == ii), jnp.inf, dcur)
+                    dk_ref[t * k + r : t * k + r + 1, :] = m
+                    ik_ref[t * k + r : t * k + r + 1, :] = ii
+
+        if has_ncand:
+            # Low-overhead count gate (see _nn_kernel_t): one SMEM scalar
+            # compare skips the whole tile-slot compute beyond the tile's
+            # certificate-derived candidate need.
+            pl.when(j < aux_ref[i * tt + t])(_tile_slot)
+        else:
+            _tile_slot()
 
 
-def _knn_group_t(qt8_g, tbase, b8r, borig_col, cand_g, k, exclude_self,
-                 interpret):
+def _knn_group_t(qt8_g, tbase, b8r, borig_col, cand_g, aux_g, k, exclude_self,
+                 interpret, init_g=None, has_ncand=False):
     gt, cap = cand_g.shape
     tt = _TILES_PER_STEP
 
+    def _slot_idx(i, j, cand, aux, t):
+        row = i * tt + t
+        if not has_ncand:
+            return cand[row, j]
+        # See _nn_group_t: unchanged block index -> Pallas skips the copy.
+        n = aux[row]
+        eff = jnp.where(n > 0, jnp.minimum(j, n - 1), 0)
+        return cand[row, eff]
+
     def b_spec(t):
         return pl.BlockSpec(
-            (CHUNK, 8), lambda i, j, cand, off, t=t: (cand[i * tt + t, j], 0)
+            (CHUNK, 8),
+            lambda i, j, cand, aux, off, t=t: (_slot_idx(i, j, cand, aux, t),
+                                               0)
         )
 
     def bor_spec(t):
         return pl.BlockSpec(
-            (CHUNK, 1), lambda i, j, cand, off, t=t: (cand[i * tt + t, j], 0)
+            (CHUNK, 1),
+            lambda i, j, cand, aux, off, t=t: (_slot_idx(i, j, cand, aux, t),
+                                               0)
         )
 
-    kernel = functools.partial(_knn_kernel_t, k=k, exclude_self=exclude_self)
+    io_spec = pl.BlockSpec((tt * k, CHUNK),
+                           lambda i, j, cand, aux, off: (i, 0))
+    kernel = functools.partial(_knn_kernel_t, k=k, exclude_self=exclude_self,
+                               has_init=init_g is not None,
+                               has_ncand=has_ncand)
+    in_specs = (
+        [pl.BlockSpec((8, tt * CHUNK), lambda i, j, cand, aux, off: (0, i))]
+        + [b_spec(t) for t in range(tt)]
+        + [bor_spec(t) for t in range(tt)]
+    )
+    operands = [qt8_g] + [b8r] * tt + [borig_col] * tt
+    if init_g is not None:
+        in_specs += [io_spec, io_spec]
+        operands += [init_g[0], init_g[1]]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,  # cand table, ncand gate (or dummy), offset
         grid=(gt // tt, cap),
-        in_specs=(
-            [pl.BlockSpec((8, tt * CHUNK), lambda i, j, cand, off: (0, i))]
-            + [b_spec(t) for t in range(tt)]
-            + [bor_spec(t) for t in range(tt)]
-        ),
-        out_specs=[
-            pl.BlockSpec((tt * k, CHUNK), lambda i, j, cand, off: (i, 0)),
-            pl.BlockSpec((tt * k, CHUNK), lambda i, j, cand, off: (i, 0)),
-        ],
+        in_specs=in_specs,
+        out_specs=[io_spec, io_spec],
     )
     dk, ik = pl.pallas_call(
         kernel,
@@ -859,11 +937,17 @@ def _knn_group_t(qt8_g, tbase, b8r, borig_col, cand_g, k, exclude_self,
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(cand_g, tbase, qt8_g, *([b8r] * tt), *([borig_col] * tt))
+    )(cand_g, aux_g, tbase, *operands)
     # (gt*k, CHUNK) -> (gt, k, CHUNK) -> rows (gt*CHUNK, k)
     dk = dk.reshape(gt, k, CHUNK).transpose(0, 2, 1).reshape(gt * CHUNK, k)
     ik = ik.reshape(gt, k, CHUNK).transpose(0, 2, 1).reshape(gt * CHUNK, k)
     return dk, ik
+
+
+def _rows_to_kbuf(x, k):
+    """Row layout (P, k) -> the kernel's k-buffer layout (nta*k, CHUNK)."""
+    p = x.shape[0]
+    return x.reshape(p // CHUNK, CHUNK, k).transpose(0, 2, 1).reshape(-1, CHUNK)
 
 
 @functools.partial(
@@ -875,11 +959,27 @@ def refine_knn_pallas_t(
     borig: jnp.ndarray,
     cand: jnp.ndarray,
     k: int,
+    ncand: typing.Optional[jnp.ndarray] = None,  # (nta,) per-tile slot gate
     exclude_self: bool = False,
     interpret: bool = False,
+    init: typing.Optional[typing.Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    # optional ((P, k) f32, (P, k) i32) ascending k-buffers to seed from
 ):
-    """Transposed-layout k-NN refine; ascending (dk, idx) like the others."""
+    """Transposed-layout k-NN refine; ascending (dk, idx) like the others.
+
+    ``ncand``/``init`` mirror refine_nn_pallas_t: the per-tile SMEM count
+    gate plus seeding from an earlier pass's exact k-buffer (both require
+    qt8 padded to whole 8-tile groups).
+    """
     nta, cap = cand.shape
+    has_ncand = ncand is not None
+    if ncand is None:
+        aux = jnp.zeros((nta, 1), jnp.int32)
+    else:
+        aux = ncand.astype(jnp.int32).reshape(nta)
+    init_kbuf = None
+    if init is not None:
+        init_kbuf = (_rows_to_kbuf(init[0], k), _rows_to_kbuf(init[1], k))
     borig_col = borig.reshape(-1, 1)
     tt = _TILES_PER_STEP
     budget_rows = max(tt, (393216 // (4 * cap)) // tt * tt)
@@ -895,6 +995,9 @@ def refine_knn_pallas_t(
         else:
             # tail not representable: fall back to the XLA-equivalent
             # straight-layout k-NN kernel for these tiles
+            assert not has_ncand and init is None, (
+                "gated/seeded k-NN refine requires qt8 padded to 8-tile "
+                "groups")
             dk, ik = refine_knn_pallas(
                 jax.lax.slice_in_dim(
                     qt8, g0 * CHUNK, (g0 + gt) * CHUNK, axis=1
@@ -906,10 +1009,36 @@ def refine_knn_pallas_t(
             i_parts.append(ik)
             continue
         cand_g = cand[g0 : g0 + use]
+        if cand_g.shape[0] != use:  # qt8 carries pad tiles beyond nta
+            pad = use - cand_g.shape[0]
+            cand_g = jnp.concatenate(
+                [cand_g, jnp.broadcast_to(cand_g[-1:], (pad, cap))])
+        if has_ncand:
+            aux_g = aux[g0 : g0 + use]
+            if aux_g.shape[0] != use:
+                aux_g = jnp.concatenate(
+                    [aux_g, jnp.zeros((use - aux_g.shape[0],), jnp.int32)])
+        else:
+            aux_g = aux[g0 : g0 + min(use, nta - g0)]
+        init_g = None
+        if init_kbuf is not None:
+            r0, r1 = g0 * k, (g0 + use) * k
+            if r1 <= init_kbuf[0].shape[0]:
+                init_g = (init_kbuf[0][r0:r1], init_kbuf[1][r0:r1])
+            else:
+                pad = r1 - init_kbuf[0].shape[0]
+                init_g = (
+                    jnp.concatenate(
+                        [init_kbuf[0][r0:],
+                         jnp.full((pad, CHUNK), jnp.inf, jnp.float32)]),
+                    jnp.concatenate(
+                        [init_kbuf[1][r0:],
+                         jnp.full((pad, CHUNK), INT_MAX, jnp.int32)]),
+                )
         dk, ik = _knn_group_t(
             jax.lax.slice_in_dim(qt8, g0 * CHUNK, (g0 + use) * CHUNK, axis=1),
-            jnp.array([g0], jnp.int32), b8r, borig_col, cand_g, k,
-            exclude_self, interpret,
+            jnp.array([g0], jnp.int32), b8r, borig_col, cand_g, aux_g, k,
+            exclude_self, interpret, init_g, has_ncand,
         )
         d_parts.append(dk[: gt * CHUNK])
         i_parts.append(ik[: gt * CHUNK])
