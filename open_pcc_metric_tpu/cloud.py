@@ -153,9 +153,22 @@ class Cloud:
         """
         g = getattr(self, "_grid", None)
         if g is None:
+            import os
+
+            import jax
+
             from .ops.grid import build_grid, build_grid_host
 
-            if self.host_points is not None:
+            # Where to build: the points already live on device, so on TPU
+            # the jitted build (argsort + gathers, ~0.2 s at 800k) beats the
+            # host build, whose ~17 MB of array uploads ride the tunnel
+            # (measured 0.8-7 s depending on tunnel health). On CPU backends
+            # (tests, parity harness) the host radix build stays the default.
+            mode = os.environ.get("PCC_GRID_BUILD", "auto")
+            if mode == "auto":
+                mode = ("device" if jax.default_backend() != "cpu"
+                        else "host")
+            if mode == "host" and self.host_points is not None:
                 g = build_grid_host(
                     self.host_points, self.padded_size,
                     dtype=self.points.dtype,

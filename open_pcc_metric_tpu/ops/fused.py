@@ -563,6 +563,17 @@ def fused_evaluate(
             "reference D2 mode requires n_origin <= n_reconst "
             f"(got {a.n} > {b.n}); use d2_mode='pc_error'"
         )
+    # The OBB peak is host-side work (qhull over the origin cloud, ~0.35 s
+    # at 800k) with no device dependency: overlap it with the device passes
+    # below instead of serialising after them. Only needed when no user
+    # peak overrides it (pc_error --resolution) and not already cached.
+    obb_future = None
+    if peak is None and getattr(a, "_obb_extent", None) is None:
+        import concurrent.futures as _cf
+
+        _pool = _cf.ThreadPoolExecutor(1)
+        obb_future = _pool.submit(a.get_obb_extent)
+        _pool.shutdown(wait=False)
     a_nrm, b_nrm = a.normals, b.normals
     if point_to_plane:
         # Cloud-level cache: estimated normals depend only on the cloud.
@@ -657,9 +668,12 @@ def fused_evaluate(
             (self_min, self_max)
         )
     # User peak (pc_error --resolution) skips the OBB entirely.
-    extent_peak = (
-        float(np.max(a.get_obb_extent())) if peak is None else float(peak)
-    )
+    if peak is not None:
+        extent_peak = float(peak)
+    elif obb_future is not None:
+        extent_peak = float(np.max(obb_future.result()))
+    else:
+        extent_peak = float(np.max(a.get_obb_extent()))
     return finalize_stats(
         stats, extent_peak, color_scheme=color_scheme,
         point_to_plane=point_to_plane, peak=peak

@@ -200,7 +200,7 @@ def knn_pruned_sorted(
     ik = ik.reshape(p, k).astype(jnp.int32)
     overflow = n_over > ft
 
-    def refine_tier(otiles, ocand, nt, cap2):
+    def refine_tier(otiles, ocand, nt, cap2, ncand=None, init=None):
         if impl in ("pallas", "pallas_interpret") and not exclude_self:
             nt_pad = ((nt + 7) // 8) * 8
             if nt_pad != nt:
@@ -208,7 +208,23 @@ def knn_pruned_sorted(
                     [otiles, jnp.broadcast_to(otiles[-1:], (nt_pad - nt,))])
                 ocand_p = jnp.concatenate(
                     [ocand,
-                     jnp.broadcast_to(ocand[-1:], (nt_pad - nt, cap2))])
+                     jnp.broadcast_to(ocand[-1:],
+                                      (nt_pad - nt, ocand.shape[1]))])
+                if ncand is not None:
+                    ncand = jnp.concatenate(
+                        [ncand, jnp.zeros((nt_pad - nt,), jnp.int32)])
+                if init is not None:
+                    # init rides the kernel's (P, k) row layout
+                    init = (
+                        jnp.concatenate(
+                            [init[0],
+                             jnp.full(((nt_pad - nt) * CHUNK, k),
+                                      jnp.inf, jnp.float32)]),
+                        jnp.concatenate(
+                            [init[1],
+                             jnp.full(((nt_pad - nt) * CHUNK, k),
+                                      int_max, jnp.int32)]),
+                    )
             else:
                 otiles_p, ocand_p = otiles, ocand
             cols = (otiles_p[:, None] * CHUNK
@@ -216,6 +232,7 @@ def knn_pruned_sorted(
             qt8_o = jnp.take(qt8, cols, axis=1)  # (8, nt_pad*CHUNK)
             fd, fi = refine_knn_pallas_t(
                 qt8_o, b8r, gb.perm[None, :], ocand_p, k,
+                ncand=ncand, init=init,
                 exclude_self=False,
                 interpret=(impl == "pallas_interpret"),
             )
@@ -246,12 +263,38 @@ def knn_pruned_sorted(
         return (dk.at[orows].set(fd.reshape(nt * CHUNK, k)),
                 ik.at[orows].set(fi.reshape(nt * CHUNK, k)))
 
+    # Same count-gating as nn_pruned_sorted's tiers: the static-shape tier
+    # passes are seeded with each compacted tile's current k-buffer and
+    # execute only the extension slots beyond the already-refined lb-prefix
+    # (the tier candidate table's first ``cap`` columns equal stage 1's:
+    # same rows, same deterministic top_k). Certified tiles execute zero
+    # slots and pass their seed through.
+    gate_tiers = (
+        impl in ("pallas", "pallas_interpret") and not exclude_self
+    )
+
+    def tier_rows(tiles, nt):
+        return (tiles[:, None] * CHUNK
+                + jnp.arange(CHUNK, dtype=jnp.int32)).reshape(nt * CHUNK)
+
     if ft > 0 and cap2a > cap:
         _, otiles = jax.lax.top_k(counts, ft)
         otiles = otiles.astype(jnp.int32)
         olb = lb[otiles]
         _, ocand = jax.lax.top_k(-olb, cap2a)
-        fb_d, fb_i = refine_tier(otiles, ocand.astype(jnp.int32), ft, cap2a)
+        ocand = ocand.astype(jnp.int32)
+        if gate_tiers:
+            rows_a = tier_rows(otiles, ft)
+            oc_a = counts[otiles]
+            ncand_a = jnp.where(
+                oc_a > cap, jnp.minimum(oc_a, cap2a) - cap, 0
+            ).astype(jnp.int32)
+            fb_d, fb_i = refine_tier(
+                otiles, ocand[:, cap:], ft, cap2a - cap,
+                ncand=ncand_a, init=(dk[rows_a], ik[rows_a]),
+            )
+        else:
+            fb_d, fb_i = refine_tier(otiles, ocand, ft, cap2a)
         counts2a = recount(otiles, fb_d, cap2a)
         dk, ik = scatter(dk, ik, otiles, fb_d, fb_i, ft)
 
@@ -262,8 +305,19 @@ def knn_pruned_sorted(
             _, bsel = jax.lax.top_k(need_b, ft2)
             btiles = otiles[bsel]
             _, bcand = jax.lax.top_k(-lb[btiles], cap2b)
-            bb_d, bb_i = refine_tier(btiles, bcand.astype(jnp.int32), ft2,
-                                     cap2b)
+            bcand = bcand.astype(jnp.int32)
+            if gate_tiers:
+                rows_b = tier_rows(btiles, ft2)
+                nb = need_b[bsel]
+                ncand_b = jnp.where(
+                    nb > 0, jnp.minimum(nb, cap2b) - cap2a, 0
+                ).astype(jnp.int32)
+                bb_d, bb_i = refine_tier(
+                    btiles, bcand[:, cap2a:], ft2, cap2b - cap2a,
+                    ncand=ncand_b, init=(dk[rows_b], ik[rows_b]),
+                )
+            else:
+                bb_d, bb_i = refine_tier(btiles, bcand, ft2, cap2b)
             counts2b = recount(btiles, bb_d, cap2b)
             overflow = overflow | jnp.any(counts2b > cap2b)
             dk, ik = scatter(dk, ik, btiles, bb_d, bb_i, ft2)

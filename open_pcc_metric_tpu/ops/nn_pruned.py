@@ -449,13 +449,14 @@ def nn_pruned_sorted(
         ub_t_eff = ub_t * (1 + 8 * eps) + 8 * eps
         return jnp.sum(tlb <= ub_t_eff[:, None], axis=1), tlb
 
-    def refine_tier(otiles, ocand, nt, cap2):
+    def refine_tier(otiles, ocand, nt, cap2, ncand=None, init=None):
         """Re-refine a compacted tile set. When the stage-1 path is pallas
         and exclude_self is False (the cross-NN case — the kernel then never
         consults global row ids), gather the failed tiles' query columns
         into a contiguous layout and re-run the PALLAS kernel (the same
         trick that took knn_pruned's stage 2 from 4.5 s to ~70 ms);
-        otherwise the XLA refine."""
+        otherwise the XLA refine. ``ncand``/``init`` plumb the per-tile SMEM
+        count gate + seed through (pallas path only)."""
         if impl in ("pallas", "pallas_interpret") and not exclude_self:
             nt_pad = ((nt + 7) // 8) * 8
             if nt_pad != nt:
@@ -463,7 +464,20 @@ def nn_pruned_sorted(
                     [otiles, jnp.broadcast_to(otiles[-1:], (nt_pad - nt,))])
                 ocand_p = jnp.concatenate(
                     [ocand,
-                     jnp.broadcast_to(ocand[-1:], (nt_pad - nt, cap2))])
+                     jnp.broadcast_to(ocand[-1:],
+                                      (nt_pad - nt, ocand.shape[1]))])
+                if ncand is not None:
+                    ncand = jnp.concatenate(
+                        [ncand, jnp.zeros((nt_pad - nt,), jnp.int32)])
+                if init is not None:
+                    init = (
+                        jnp.concatenate(
+                            [init[0], jnp.full((nt_pad - nt, CHUNK),
+                                               jnp.inf, jnp.float32)]),
+                        jnp.concatenate(
+                            [init[1], jnp.full((nt_pad - nt, CHUNK),
+                                               INT_MAX, jnp.int32)]),
+                    )
             else:
                 otiles_p, ocand_p = otiles, ocand
             cols = (otiles_p[:, None] * CHUNK
@@ -471,6 +485,7 @@ def nn_pruned_sorted(
             q8_o = jnp.take(q8, cols, axis=1)
             fd, fi = refine_nn_pallas_t(
                 q8_o, b8r, gb.perm[None, :], ocand_p,
+                ncand=ncand, init=init,
                 exclude_self=False,
                 interpret=(impl == "pallas_interpret"),
                 expanded=use_expanded,
@@ -480,12 +495,43 @@ def nn_pruned_sorted(
         return refine_xla(a_tiles[otiles], ocand, otiles, cap2,
                           _pick_batch(nt, 4))
 
+    # The tiers run at static shapes whether or not any tile actually failed
+    # its certificate (usually none do), so on the pallas path they are
+    # count-gated exactly like stage 1: each compacted tile is SEEDED with
+    # its current rows and executes only its extension slots beyond the
+    # already-refined lb-prefix — zero for certified tiles, whose clamped
+    # slots cost one SMEM compare each (measured ~18 ms/direction ungated
+    # at ft=256). Soundness of the narrower tier width: the tier candidate
+    # table is the same deterministic lb-ascending top_k, so its first
+    # ``cap`` columns ARE the stage-1 candidates (prefix property), and a
+    # tile refined to width w = min(count, cap2) certifies automatically
+    # when count <= cap2 because its recount can only shrink.
+    gate_tiers = (
+        impl in ("pallas", "pallas_interpret") and not exclude_self
+    )
+
+    def tier_rows(tiles, nt):
+        return (tiles[:, None] * CHUNK
+                + jnp.arange(CHUNK, dtype=jnp.int32))
+
     if ft > 0 and cap2a > cap:
         _, otiles = jax.lax.top_k(counts, ft)
         otiles = otiles.astype(jnp.int32)
         olb = lb[otiles]
         _, ocand = jax.lax.top_k(-olb, cap2a)
-        fb_d, fb_i = refine_tier(otiles, ocand.astype(jnp.int32), ft, cap2a)
+        ocand = ocand.astype(jnp.int32)
+        if gate_tiers:
+            rows_a = tier_rows(otiles, ft)
+            oc_a = counts[otiles]
+            ncand_a = jnp.where(
+                oc_a > cap, jnp.minimum(oc_a, cap2a) - cap, 0
+            ).astype(jnp.int32)
+            fb_d, fb_i = refine_tier(
+                otiles, ocand[:, cap:], ft, cap2a - cap,
+                ncand=ncand_a, init=(dmin[rows_a], gidx[rows_a]),
+            )
+        else:
+            fb_d, fb_i = refine_tier(otiles, ocand, ft, cap2a)
         counts2a, _ = recount(otiles, fb_d)
         dmin, gidx = scatter_rows(dmin, gidx, otiles, fb_d, fb_i, ft)
 
@@ -500,8 +546,19 @@ def nn_pruned_sorted(
             btiles = otiles[bsel]
             blb = olb[bsel]
             _, bcand = jax.lax.top_k(-blb, cap2b)
-            bb_d, bb_i = refine_tier(btiles, bcand.astype(jnp.int32), ft2,
-                                     cap2b)
+            bcand = bcand.astype(jnp.int32)
+            if gate_tiers:
+                rows_b = tier_rows(btiles, ft2)
+                nb = need_b[bsel]
+                ncand_b = jnp.where(
+                    nb > 0, jnp.minimum(nb, cap2b) - cap2a, 0
+                ).astype(jnp.int32)
+                bb_d, bb_i = refine_tier(
+                    btiles, bcand[:, cap2a:], ft2, cap2b - cap2a,
+                    ncand=ncand_b, init=(dmin[rows_b], gidx[rows_b]),
+                )
+            else:
+                bb_d, bb_i = refine_tier(btiles, bcand, ft2, cap2b)
             counts2b, _ = recount(btiles, bb_d)
             overflow = overflow | jnp.any(counts2b > cap2b)
             dmin, gidx = scatter_rows(dmin, gidx, btiles, bb_d, bb_i, ft2)
