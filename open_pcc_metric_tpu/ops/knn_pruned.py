@@ -10,11 +10,12 @@ Replaces the reference's per-point 30-NN FLANN queries inside
 ``estimate_normals`` (reference: open_pcc_metric/cloud_pair.py:61-64) for
 large clouds; returns ORIGINAL indices sorted ascending by distance.
 
-Under exact distance ties the selected neighbour SET can differ from the
-brute-force path (top_k breaks ties by candidate position, which here is
-Morton order) — distances are identical, and the downstream covariance is
-affected only when equidistant neighbours differ, i.e. on perfectly regular
-lattices.
+Tie-breaking is lowest ORIGINAL index, exactly like the 1-NN paths: every
+chunk that can TIE a query's k-th distance is both visited (its lb qualifies
+under the certificate) and merged (the kernels' merge gate is non-strict),
+so the selected k-set is the lexicographic (distance, original index) k-best
+and all k-NN backends are bit-interchangeable — including on integer voxel
+lattices where exact ties are common (regression: TestKnnMoments).
 """
 from __future__ import annotations
 
@@ -39,7 +40,7 @@ def _resolve_refine_impl(impl: str, dtype) -> str:
 @functools.partial(
     jax.jit,
     static_argnames=("k", "exclude_self", "cap", "fallback_tiles",
-                     "refine_impl"),
+                     "refine_impl", "with_moments"),
 )
 def knn_pruned_sorted(
     ga: ChunkGrid,
@@ -50,10 +51,19 @@ def knn_pruned_sorted(
     cap: int = 32,
     fallback_tiles: int = 128,
     refine_impl: str = "auto",
-) -> typing.Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    with_moments: bool = False,
+) -> typing.Tuple[jnp.ndarray, ...]:
     """k-NN in Morton-sorted query order; ORIGINAL neighbour indices.
 
     Returns ``(dist_sq (P, k), idx (P, k), overflow)``, ascending by distance.
+
+    ``with_moments=True`` appends a fourth output: per-query covariance
+    moment sums of the exact k-NN set, (P, MOM_CH) query-relative (see
+    refine_pallas.moments_pallas_t) — the normal-estimation epilogue
+    without any (P, k, 3) neighbour gather. On the pallas path these are
+    accumulated in-kernel over the same count-gated candidate schedule;
+    elsewhere a gather-based fallback produces the same sums (different
+    summation order only).
     """
     dtype = ga.points.dtype
     eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
@@ -141,7 +151,8 @@ def knn_pruned_sorted(
             # p1 chunks everywhere, then extend each tile IN PLACE to its
             # certificate count via the kernel's per-tile SMEM gate,
             # seeded from the probe's exact k-buffer.
-            p1 = 8
+            p1 = max(1, min(int(_os.environ.get("PCC_KNN_P1", "8")),
+                            cap - 1))
             d1, i1 = refine_knn_pallas_t(
                 qt8, b8r, gb.perm[None, :], cand[:, :p1], k,
                 exclude_self=exclude_self, interpret=interp,
@@ -323,8 +334,92 @@ def knn_pruned_sorted(
             dk, ik = scatter(dk, ik, btiles, bb_d, bb_i, ft2)
         else:
             overflow = overflow | jnp.any(counts2a > cap2a)
+    else:
+        otiles = None
 
-    return dk, ik, overflow
+    if not with_moments:
+        return dk, ik, overflow
+
+    # ---- covariance moments of the exact k-NN set (normal estimation).
+    # Membership threshold: lexicographic (d, orig idx) <= the k-buffer's
+    # LAST slot — precisely the k-set the merge kept. Gate: the FINAL
+    # certificate count covers every member's chunk (member d <= r_k <=
+    # ub_eff, so its chunk's lb qualifies), and the lb-ascending candidate
+    # prefix of that width contains all qualifying chunks.
+    kth_d = dk[:, k - 1].reshape(nta, CHUNK)
+    kth_i = ik[:, k - 1].reshape(nta, CHUNK)
+    ubf = jnp.max(jnp.where(valid_t, kth_d, -jnp.inf), axis=1)
+    ubf_eff = ubf * (1 + 8 * eps) + 8 * eps
+    countsf = jnp.sum(lb <= ubf_eff[:, None], axis=1).astype(jnp.int32)
+
+    if impl in ("pallas", "pallas_interpret") and not exclude_self:
+        from .refine_pallas import moments_pallas_t
+
+        interp = impl == "pallas_interpret"
+        qpadm = (-nta) % 8
+        qt8m = (jnp.pad(qt8, ((0, 0), (0, qpadm * CHUNK)))
+                if qpadm else qt8)
+        nc1 = jnp.minimum(countsf, cap)
+        mom = moments_pallas_t(
+            qt8m, b8r, gb.perm[None, :], cand, nc1, kth_d, kth_i,
+            interpret=interp,
+        )[: p]
+
+        def mom_tier(tiles, tcand, nt, lo):
+            """Extend compacted tiles' moments past the stage-lo prefix."""
+            nt_pad = ((nt + 7) // 8) * 8
+            tiles_p = tiles
+            tcand_p = tcand
+            ncm = jnp.where(
+                countsf[tiles] > lo,
+                jnp.minimum(countsf[tiles], lo + tcand.shape[1]) - lo, 0,
+            ).astype(jnp.int32)
+            if nt_pad != nt:
+                tiles_p = jnp.concatenate(
+                    [tiles, jnp.broadcast_to(tiles[-1:], (nt_pad - nt,))])
+                tcand_p = jnp.concatenate(
+                    [tcand,
+                     jnp.broadcast_to(tcand[-1:],
+                                      (nt_pad - nt, tcand.shape[1]))])
+                ncm = jnp.concatenate(
+                    [ncm, jnp.zeros((nt_pad - nt,), jnp.int32)])
+            rows = (tiles_p[:, None] * CHUNK
+                    + jnp.arange(CHUNK, dtype=jnp.int32)).reshape(-1)
+            qt8_o = jnp.take(qt8, rows, axis=1)
+            momt = moments_pallas_t(
+                qt8_o, b8r, gb.perm[None, :], tcand_p, ncm,
+                kth_d[tiles_p], kth_i[tiles_p],
+                init=mom[rows], interpret=interp,
+            )
+            nt_rows = rows[: nt * CHUNK]
+            return mom.at[nt_rows].set(momt[: nt * CHUNK])
+
+        if otiles is not None:
+            mom = mom_tier(otiles, ocand[:, cap:], ft, cap)
+            if cap2b > cap2a:
+                mom = mom_tier(btiles, bcand[:, cap2a:], ft2, cap2a)
+    else:
+        # Gather-based fallback (CPU tests, exclude_self): same sums.
+        pb = gb.points.shape[0]
+        inv_b = jnp.zeros(pb, jnp.int32).at[gb.perm].set(
+            jnp.arange(pb, dtype=jnp.int32))
+        neigh = jnp.take(gb.points, jnp.take(inv_b, ik, mode="clip"),
+                         axis=0)  # (P, k, 3)
+        w = jnp.isfinite(dk).astype(dtype)[:, :, None]
+        diffs = (neigh - ga.points[:, None, :]) * w
+        cnt = jnp.sum(w[:, :, 0], axis=1, keepdims=True)
+        s1 = jnp.sum(diffs, axis=1)
+        sq = jnp.stack(
+            [diffs[:, :, 0] * diffs[:, :, 0],
+             diffs[:, :, 1] * diffs[:, :, 1],
+             diffs[:, :, 2] * diffs[:, :, 2],
+             diffs[:, :, 0] * diffs[:, :, 1],
+             diffs[:, :, 0] * diffs[:, :, 2],
+             diffs[:, :, 1] * diffs[:, :, 2]], axis=2)
+        s2 = jnp.sum(sq, axis=1)
+        mom = jnp.concatenate([cnt, s1, s2], axis=1).astype(jnp.float32)
+
+    return dk, ik, overflow, mom
 
 
 @functools.partial(

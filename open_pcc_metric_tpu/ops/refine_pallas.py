@@ -208,8 +208,11 @@ def _knn_kernel(cand_ref, off_ref, qt_ref, bt_ref, borig_ref, dk_ref, ik_ref,
     # Merge only when this chunk could improve some query's k-th best:
     # candidate chunks arrive in ascending lower-bound order, so after the
     # first few chunks fill the buffers, most later chunks skip the (15x
-    # more expensive) merge entirely.
-    improves = jnp.any(jnp.min(d, axis=1) < dk_ref[:, k - 1])
+    # more expensive) merge entirely. NON-STRICT compare: a chunk tying the
+    # k-th distance can still lower the k-th ORIGINAL INDEX (the lex
+    # tie-break) — a strict gate dropped such candidates, making the
+    # selected k-set visitation-order-dependent under exact ties.
+    improves = jnp.any(jnp.min(d, axis=1) <= dk_ref[:, k - 1])
 
     @pl.when(improves)
     def _merge():
@@ -852,7 +855,9 @@ def _knn_kernel_t(cand_ref, aux_ref, off_ref, qt_ref, *rest, k, exclude_self,
 
             run_d = dk_ref[t * k : (t + 1) * k, :]  # (k, CHUNK)
             run_i = ik_ref[t * k : (t + 1) * k, :]
-            improves = jnp.any(jnp.min(d, axis=0) < run_d[k - 1, :])
+            # Non-strict: equality can still lower the k-th original index
+            # (lex tie-break) — see _knn_kernel.
+            improves = jnp.any(jnp.min(d, axis=0) <= run_d[k - 1, :])
 
             @pl.when(improves)
             def _merge(t=t, d=d, run_d=run_d, run_i=run_i):
@@ -1206,3 +1211,210 @@ def refine_nn_pallas_payload(
         p_parts.append(p_g)
     return (jnp.concatenate(d_parts), jnp.concatenate(i_parts),
             jnp.concatenate(p_parts))
+
+
+# ---------------------------------------------------------------------------
+# k-NN covariance-moment accumulation: the normal-estimation epilogue
+# without the (P, k, 3) neighbour gather. A second count-gated pass over
+# the SAME lb-ascending candidate schedule as the k-NN refine recomputes
+# each (chunk, tile) distance block (cheap: the k-NN pass is merge-bound,
+# not distance-bound), tests membership in the exact k-NN set by
+# lexicographic (d, orig idx) <= (r_k, i_k) against the k-buffer's last
+# slot, and accumulates per-query moment sums of the QUERY-RELATIVE
+# neighbour offsets (centering on the query kills the catastrophic
+# cancellation a raw sum-of-squares form would have):
+#   [cnt, sx, sy, sz, sxx, syy, szz, sxy, sxz, syz]
+# The host epilogue turns these into the 3x3 covariance + eigh3 — the XLA
+# row-gather (measured 247 ms/800k cloud, the single largest estimation
+# cost) and the (P, 30, 3) einsum (47 ms) disappear.
+# Replaces the gather half of open3d estimate_normals (reference:
+# open_pcc_metric/cloud_pair.py:61-64).
+# ---------------------------------------------------------------------------
+
+MOM_CH = 10  # [cnt, sx, sy, sz, sxx, syy, szz, sxy, sxz, syz]
+
+
+def _moments_kernel_t(cand_ref, aux_ref, off_ref, qt_ref, *rest,
+                      has_init=False):
+    tt = _TILES_PER_STEP
+    b_refs = rest[:tt]
+    borig_refs = rest[tt : 2 * tt]
+    k0 = 2 * tt
+    rk_ref, ikth_ref = rest[k0], rest[k0 + 1]
+    k0 += 2
+    if has_init:
+        initm_ref = rest[k0]
+        k0 += 1
+    mom_ref = rest[k0]
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        if has_init:
+            mom_ref[:] = initm_ref[:]
+        else:
+            mom_ref[:] = jnp.zeros_like(mom_ref)
+
+    q = qt_ref[:]  # (8, tt*CHUNK)
+    for t in range(tt):
+        def _tile_slot(t=t):
+            b = b_refs[t][:]  # (CHUNK, 8) candidate chunk rows
+            diffs = []
+            d = None
+            for kk in range(3):
+                bk = b[:, kk].reshape(CHUNK, 1)
+                qk = q[kk, t * CHUNK : (t + 1) * CHUNK].reshape(1, CHUNK)
+                diff = bk - qk  # (cand, query) — identical rounding to the
+                # k-NN kernel's distance, so membership tests see the SAME
+                # d values the k-buffer was built from.
+                diffs.append(diff)
+                d = diff * diff if d is None else d + diff * diff
+            rk = rk_ref[t : t + 1, :]     # (1, CHUNK) k-th distance
+            ikt = ikth_ref[t : t + 1, :]  # (1, CHUNK) k-th original idx
+            bor = borig_refs[t][:]        # (CHUNK, 1) original ids
+            member = (d < rk) | ((d == rk) & (bor <= ikt))
+            m = member.astype(jnp.float32)
+            dx, dy, dz = diffs
+            mdx, mdy, mdz = m * dx, m * dy, m * dz
+            rows = (
+                m, mdx, mdy, mdz,
+                mdx * dx, mdy * dy, mdz * dz,
+                mdx * dy, mdx * dz, mdy * dz,
+            )
+            acc = jnp.concatenate(
+                [jnp.sum(r, axis=0, keepdims=True) for r in rows], axis=0
+            )  # (MOM_CH, CHUNK)
+            base = t * MOM_CH
+            mom_ref[base : base + MOM_CH, :] += acc
+
+        # Always count-gated: ncand is the tile's certificate count, the
+        # exact cover of its k-NN members' chunks.
+        pl.when(j < aux_ref[i * tt + t])(_tile_slot)
+
+
+def _moments_group_t(qt8_g, tbase, b8r, borig_col, cand_g, aux_g, rk_g,
+                     ik_g, interpret, init_g=None):
+    gt, cap = cand_g.shape
+    tt = _TILES_PER_STEP
+
+    def _slot_idx(i, j, cand, aux, t):
+        row = i * tt + t
+        # Gated slots re-address the tile's LAST live block (see
+        # _nn_group_t): unchanged block index -> Pallas elides the copy.
+        n = aux[row]
+        eff = jnp.where(n > 0, jnp.minimum(j, n - 1), 0)
+        return cand[row, eff]
+
+    def b_spec(t):
+        return pl.BlockSpec(
+            (CHUNK, 8),
+            lambda i, j, cand, aux, off, t=t: (_slot_idx(i, j, cand, aux, t),
+                                               0)
+        )
+
+    def bor_spec(t):
+        return pl.BlockSpec(
+            (CHUNK, 1),
+            lambda i, j, cand, aux, off, t=t: (_slot_idx(i, j, cand, aux, t),
+                                               0)
+        )
+
+    th_spec = pl.BlockSpec((tt, CHUNK), lambda i, j, cand, aux, off: (i, 0))
+    mom_spec = pl.BlockSpec((tt * MOM_CH, CHUNK),
+                            lambda i, j, cand, aux, off: (i, 0))
+    kernel = functools.partial(_moments_kernel_t,
+                               has_init=init_g is not None)
+    in_specs = (
+        [pl.BlockSpec((8, tt * CHUNK), lambda i, j, cand, aux, off: (0, i))]
+        + [b_spec(t) for t in range(tt)]
+        + [bor_spec(t) for t in range(tt)]
+        + [th_spec, th_spec]
+    )
+    operands = [qt8_g] + [b8r] * tt + [borig_col] * tt + [rk_g, ik_g]
+    if init_g is not None:
+        in_specs += [mom_spec]
+        operands += [init_g]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # cand table, ncand gate, tile offset
+        grid=(gt // tt, cap),
+        in_specs=in_specs,
+        out_specs=[mom_spec],
+    )
+    (mom,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((gt * MOM_CH, CHUNK), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(cand_g, aux_g, tbase, *operands)
+    # (gt*MOM_CH, CHUNK) -> rows (gt*CHUNK, MOM_CH)
+    return (mom.reshape(gt, MOM_CH, CHUNK).transpose(0, 2, 1)
+            .reshape(gt * CHUNK, MOM_CH))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def moments_pallas_t(
+    qt8: jnp.ndarray,   # (8, Pa) transposed queries, padded to 8-tile groups
+    b8r: jnp.ndarray,   # (Pb, 8) natural padded candidate layout
+    borig: jnp.ndarray,  # (1, Pb) original ids
+    cand: jnp.ndarray,  # (nta, cap) lb-ascending candidate table
+    ncand: jnp.ndarray,  # (nta,) per-tile certificate count (gate)
+    rk: jnp.ndarray,    # (nta, CHUNK) k-th NN distance per query
+    ik: jnp.ndarray,    # (nta, CHUNK) k-th NN original idx per query
+    init: typing.Optional[jnp.ndarray] = None,  # (nta*CHUNK, MOM_CH) seed
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """k-NN moment sums per query row: (Pa, MOM_CH), query-relative."""
+    nta, cap = cand.shape
+    aux = ncand.astype(jnp.int32).reshape(nta)
+    borig_col = borig.reshape(-1, 1)
+    init_kbuf = _rows_to_kbuf(init, MOM_CH) if init is not None else None
+    tt = _TILES_PER_STEP
+    budget_rows = max(tt, (393216 // (4 * cap)) // tt * tt)
+    group = min((TILE_GROUP // tt) * tt, budget_rows)
+    parts = []
+    for g0 in range(0, nta, group):
+        gt = min(group, nta - g0)
+        gt_pad = ((gt + tt - 1) // tt) * tt
+        assert (g0 + gt_pad) * CHUNK <= qt8.shape[1] or gt_pad == gt, (
+            "moments_pallas_t requires qt8 padded to whole 8-tile groups")
+        use = gt_pad if gt_pad != gt else gt
+
+        def seg(x, fill):
+            s = x[g0 : g0 + use]
+            if s.shape[0] != use:
+                pad = use - s.shape[0]
+                s = jnp.concatenate(
+                    [s, jnp.full((pad,) + x.shape[1:], fill, x.dtype)])
+            return s
+
+        cand_g = cand[g0 : g0 + use]
+        if cand_g.shape[0] != use:
+            cand_g = jnp.concatenate(
+                [cand_g,
+                 jnp.broadcast_to(cand_g[-1:],
+                                  (use - cand_g.shape[0], cap))])
+        aux_g = seg(aux, 0)  # pad tiles execute zero slots
+        rk_g = seg(rk, 0.0)
+        ik_g = seg(ik, 0)
+        init_g = None
+        if init_kbuf is not None:
+            r0, r1 = g0 * MOM_CH, (g0 + use) * MOM_CH
+            if r1 <= init_kbuf.shape[0]:
+                init_g = init_kbuf[r0:r1]
+            else:
+                init_g = jnp.concatenate(
+                    [init_kbuf[r0:],
+                     jnp.zeros((r1 - init_kbuf.shape[0], CHUNK),
+                               jnp.float32)])
+        mom = _moments_group_t(
+            jax.lax.slice_in_dim(qt8, g0 * CHUNK, (g0 + use) * CHUNK,
+                                 axis=1),
+            jnp.array([g0], jnp.int32), b8r, borig_col, cand_g, aux_g,
+            rk_g, ik_g, interpret, init_g,
+        )
+        parts.append(mom[: gt * CHUNK])
+    return jnp.concatenate(parts)

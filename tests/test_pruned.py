@@ -295,3 +295,100 @@ def test_counted_knn_schedule_matches_bruteforce(monkeypatch):
     od = np.sort(d2, axis=1)[:, :k]
     np.testing.assert_allclose(np.asarray(dk, np.float64), od,
                                rtol=1e-6, atol=1e-6)
+
+
+class TestKnnMoments:
+    """In-kernel covariance moments (knn_pruned_sorted with_moments=True):
+    the normal-estimation epilogue without the (P, k, 3) gather."""
+
+    @staticmethod
+    def _grid_of(pts):
+        from open_pcc_metric_tpu.cloud import PAD_SENTINEL
+
+        n = pts.shape[0]
+        p = ((n + 2047) // 2048) * 2048
+        buf = np.full((p, 3), PAD_SENTINEL, np.float32)
+        buf[:n] = pts
+        return build_grid(jnp.asarray(buf), jnp.asarray(n)), buf, n, p
+
+    def test_kernel_matches_gather_fallback(self):
+        """Pallas (interpret) moments == the gather-based fallback exactly,
+        including the count-gated stage-2 tier extensions (tiny cap)."""
+        from open_pcc_metric_tpu.ops.knn_pruned import knn_pruned_sorted
+
+        rng = np.random.default_rng(41)
+        pts = np.unique(
+            rng.integers(0, 128, (9000, 3)), axis=0).astype(np.float32)
+        g, _, n, p = self._grid_of(pts)
+        for cap, ft in ((16, 32), (8, 64)):
+            dk, ik, _, mom = knn_pruned_sorted(
+                g, g, jnp.asarray(n), 30, cap=cap, fallback_tiles=ft,
+                with_moments=True)
+            dk2, ik2, _, mom2 = knn_pruned_sorted(
+                g, g, jnp.asarray(n), 30, cap=cap, fallback_tiles=ft,
+                refine_impl="pallas_interpret", with_moments=True)
+            valid = np.arange(p) < n
+            np.testing.assert_array_equal(np.asarray(ik2)[valid],
+                                          np.asarray(ik)[valid])
+            np.testing.assert_allclose(np.asarray(mom2)[valid],
+                                       np.asarray(mom)[valid],
+                                       rtol=1e-6, atol=1e-4)
+            # exactly k members per valid query (n >= k)
+            assert np.all(np.asarray(mom)[valid, 0] == 30)
+            assert np.all(np.asarray(mom2)[valid, 0] == 30)
+
+    def test_moment_normals_match_gather_normals(self):
+        """normals_from_moments == normals_from_neighbors on the same
+        exact k-NN sets (sign-invariant, fp-tolerance)."""
+        from open_pcc_metric_tpu.ops.knn_pruned import knn_pruned_sorted
+        from open_pcc_metric_tpu.ops.normals import (
+            normals_from_moments, normals_from_neighbors,
+        )
+
+        rng = np.random.default_rng(42)
+        v = rng.normal(size=(8000, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        pts = (v * 50.0).astype(np.float32)
+        g, buf, n, p = self._grid_of(pts)
+        dk, ik, ov, mom = knn_pruned_sorted(
+            g, g, jnp.asarray(n), 30, cap=64, fallback_tiles=256,
+            with_moments=True)
+        assert not bool(ov)
+        nm = np.asarray(normals_from_moments(mom))
+        ng = np.asarray(normals_from_neighbors(jnp.asarray(buf), ik, 30))
+        valid = np.arange(p) < n
+        dots = np.abs(np.sum(nm[valid] * ng[valid], axis=1))
+        assert np.quantile(dots, 0.001) > 0.999
+
+    def test_estimate_normals_cloud_uses_moments(self, monkeypatch):
+        """The cloud path (moments) agrees with the brute gather path."""
+        from open_pcc_metric_tpu.ops import normals as nops
+        from open_pcc_metric_tpu.ops.knn_pruned import knn_pruned
+        from open_pcc_metric_tpu.ops.normals import normals_from_neighbors
+
+        monkeypatch.setattr(nops, "_PRUNE_THRESHOLD", 1024)
+        rng = np.random.default_rng(43)
+        pts = np.unique(
+            rng.integers(0, 128, (6000, 3)), axis=0).astype(float)
+        c = Cloud.from_numpy(pts, dtype=jnp.float32)
+        n = c.n
+        nrm_new = np.asarray(nops.estimate_normals_cloud(c))
+        idx, _ = knn_pruned(c.points, c.points, n, n, k=30)
+        nrm_old = np.asarray(normals_from_neighbors(
+            c.points, idx, 30, n_valid=jnp.asarray(n)))
+        dots = np.abs(np.sum(nrm_new[:n] * nrm_old[:n], axis=1))
+        assert np.quantile(dots, 0.001) > 0.999
+
+    def test_fewer_than_k_points_routes_to_brute(self, monkeypatch):
+        """n < k clouds keep FLANN 'fewer neighbours' semantics (the
+        moments membership would count sentinel rows)."""
+        from open_pcc_metric_tpu.ops import normals as nops
+
+        monkeypatch.setattr(nops, "_PRUNE_THRESHOLD", 1024)
+        rng = np.random.default_rng(44)
+        pts = rng.uniform(0, 10, (20, 3))
+        c = Cloud.from_numpy(pts, dtype=jnp.float32, pad_to=2048)
+        nrm = np.asarray(nops.estimate_normals_cloud(c))[: c.n]
+        assert np.all(np.isfinite(nrm))
+        norms = np.linalg.norm(nrm, axis=1)
+        np.testing.assert_allclose(norms, 1.0, rtol=1e-5)

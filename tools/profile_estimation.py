@@ -64,6 +64,19 @@ def main():
                          g, g, n, k, cap=cap, fallback_tiles=ft))
         print(f"    overflow={bool(np.asarray(out[2]))}", flush=True)
 
+    out = timeit("knn_pruned_sorted + in-kernel moments cap=64",
+                 lambda: knn_pruned_sorted(
+                     g, g, n, k, cap=64, fallback_tiles=256,
+                     with_moments=True))
+    from open_pcc_metric_tpu.ops.normals import (
+        estimate_normals_cloud, normals_from_moments,
+    )
+
+    timeit("  normals_from_moments epilogue",
+           lambda: normals_from_moments(out[3]))
+    timeit("estimate_normals_cloud end-to-end",
+           lambda: estimate_normals_cloud(a))
+
     dk, ik, _ = knn_pruned_sorted(g, g, n, k, cap=64, fallback_tiles=256)
     _sync((dk, ik))
 
