@@ -149,6 +149,8 @@ def estimate_normals_cloud(cloud, k: int = DEFAULT_KNN) -> jnp.ndarray:
             break
         cap = min(cap * 4, ncb)
         ft = min(ft * 4, nta)
+    nrm, mn, mx = _estimation_epilogue(mom, dk[:, min(k - 1, 1)], g.perm,
+                                       jnp.asarray(cloud.n))
     # Shared work (VERDICT r2 item 2): the k-NN includes the query itself at
     # slot 0, so slot 1 IS the intra-cloud nearest-neighbour distance — the
     # boundary stats (reference compute_nearest_neighbor_distance,
@@ -156,17 +158,23 @@ def estimate_normals_cloud(cloud, k: int = DEFAULT_KNN) -> jnp.ndarray:
     # Cache them per Cloud exactly like ops.fused.boundary_stats would.
     if k >= 2 and int(cloud.n) >= 2 \
             and getattr(cloud, "_boundary_stats", None) is None:
-        valid = (jnp.arange(p) < cloud.n)  # sorted row < n convention
-        d1 = jnp.sqrt(jnp.maximum(dk[:, 1], 0.0))
-        cloud._boundary_stats = (
-            jnp.min(jnp.where(valid, d1, jnp.inf)),
-            jnp.max(jnp.where(valid, d1, -jnp.inf)),
-        )
-    # Normals straight from the in-kernel moment sums (no (P, k, 3)
-    # neighbour gather — measured 247 ms/800k cloud — and no (P, k)
-    # index-table unsort): compute in SORTED query order and unsort only
-    # the (P, 3) result.
+        cloud._boundary_stats = (mn, mx)
+    return nrm
+
+
+@jax.jit
+def _estimation_epilogue(mom, dk1, perm, n):
+    """One-dispatch tail of estimate_normals_cloud: normals straight from
+    the in-kernel moment sums (no (P, k, 3) neighbour gather — measured
+    247 ms/800k cloud — and no (P, k) index-table unsort; only the (P, 3)
+    normals are unsorted), plus the free intra-cloud boundary stats from
+    k-NN slot 1."""
+    p = perm.shape[0]
+    valid = jnp.arange(p) < n
+    d1 = jnp.sqrt(jnp.maximum(dk1, 0.0))
+    mn = jnp.min(jnp.where(valid, d1, jnp.inf))
+    mx = jnp.max(jnp.where(valid, d1, -jnp.inf))
     nrm_sorted = normals_from_moments(mom)
-    inv = jnp.zeros(p, jnp.int32).at[g.perm].set(
+    inv = jnp.zeros(p, jnp.int32).at[perm].set(
         jnp.arange(p, dtype=jnp.int32))
-    return jnp.take(nrm_sorted, inv, axis=0)
+    return jnp.take(nrm_sorted, inv, axis=0), mn, mx

@@ -208,11 +208,19 @@ def _knn_kernel(cand_ref, off_ref, qt_ref, bt_ref, borig_ref, dk_ref, ik_ref,
     # Merge only when this chunk could improve some query's k-th best:
     # candidate chunks arrive in ascending lower-bound order, so after the
     # first few chunks fill the buffers, most later chunks skip the (15x
-    # more expensive) merge entirely. NON-STRICT compare: a chunk tying the
+    # more expensive) merge entirely. Ties: a chunk whose min EQUALS the
     # k-th distance can still lower the k-th ORIGINAL INDEX (the lex
-    # tie-break) — a strict gate dropped such candidates, making the
-    # selected k-set visitation-order-dependent under exact ties.
-    improves = jnp.any(jnp.min(d, axis=1) <= dk_ref[:, k - 1])
+    # tie-break; a strict-only gate made the k-set visitation-order
+    # dependent under exact ties), but only when the lowest original id at
+    # that distance beats the incumbent — the extra compare keeps integer
+    # lattices (ties everywhere) from firing the merge on every chunk.
+    mind = jnp.min(d, axis=1)
+    kth = dk_ref[:, k - 1]
+    bor_row = jnp.broadcast_to(borig_ref[:], d.shape)
+    ii_at_min = jnp.min(
+        jnp.where(d == mind[:, None], bor_row, INT_MAX), axis=1)
+    improves = jnp.any(
+        (mind < kth) | ((mind == kth) & (ii_at_min < ik_ref[:, k - 1])))
 
     @pl.when(improves)
     def _merge():
@@ -855,9 +863,18 @@ def _knn_kernel_t(cand_ref, aux_ref, off_ref, qt_ref, *rest, k, exclude_self,
 
             run_d = dk_ref[t * k : (t + 1) * k, :]  # (k, CHUNK)
             run_i = ik_ref[t * k : (t + 1) * k, :]
-            # Non-strict: equality can still lower the k-th original index
-            # (lex tie-break) — see _knn_kernel.
-            improves = jnp.any(jnp.min(d, axis=0) <= run_d[k - 1, :])
+            # Tie-aware gate (see _knn_kernel): equality fires the merge
+            # only when it can lower the k-th ORIGINAL index.
+            bor0 = borig_refs[t][:]  # (CHUNK, 1)
+            mind = jnp.min(d, axis=0)
+            ii_at_min = jnp.min(
+                jnp.where(d == mind[None, :],
+                          jnp.broadcast_to(bor0, d.shape), INT_MAX),
+                axis=0)
+            improves = jnp.any(
+                (mind < run_d[k - 1, :])
+                | ((mind == run_d[k - 1, :]) & (ii_at_min < run_i[k - 1, :]))
+            )
 
             @pl.when(improves)
             def _merge(t=t, d=d, run_d=run_d, run_i=run_i):
