@@ -548,6 +548,150 @@ def boundary_stats(cloud, backend: str = "auto"):
 _LADDER_MEMO: dict = {}
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "color_scheme", "point_to_plane", "d2_mode", "k",
+        "knn_cap", "knn_ft", "prune_cap", "prune_fallback", "mxu_ok",
+    ),
+)
+def cold_pair_program(
+    a_pts, b_pts, n_a, n_b, a_col=None, b_col=None,
+    color_scheme=None, point_to_plane=True, d2_mode="reference",
+    k=30, knn_cap=64, knn_ft=256, prune_cap=32, prune_fallback=256,
+    mxu_ok=False,
+):
+    """ONE compiled program for a fully cold pair on normal-less clouds.
+
+    The stepwise estimation path costs ~7 dispatches per pair (2 grid
+    builds, 2 estimation programs, pair_stats, plus round-trips) at ~30 ms
+    of tunnel latency each; this folds the reference's entire
+    estimate-if-missing pipeline (reference cloud_pair.py:54-80) into one
+    device program: Morton grids, 30-NN PCA normals + free boundary stats
+    for both clouds, and the pruned bidirectional metric sweeps.
+
+    Returns ``(stats, cacheables)`` where cacheables carries the per-Cloud
+    device state (grids, normals both orders, boundary) for the caller to
+    cache; ``stats['nn_overflow']`` ORs every certificate in the program —
+    on overflow the caller falls back to the stepwise escalating path.
+    """
+    from .grid import build_grid
+    from .normals import estimation_core
+
+    ga = build_grid(a_pts, n_a)
+    gb = build_grid(b_pts, n_b)
+    nrm_a, nrm_a_s, mn_a, mx_a, ov_a = estimation_core(
+        ga, n_a, k, knn_cap, knn_ft)
+    nrm_b, nrm_b_s, mn_b, mx_b, ov_b = estimation_core(
+        gb, n_b, k, knn_cap, knn_ft)
+    qt8_a = jnp.pad(ga.points, ((0, 0), (0, 5))).T
+    qt8_b = jnp.pad(gb.points, ((0, 0), (0, 5))).T
+    a_col_s = jnp.take(a_col, ga.perm, axis=0) if a_col is not None else None
+    b_col_s = jnp.take(b_col, gb.perm, axis=0) if b_col is not None else None
+    stats = _pair_stats_pruned(
+        a_pts, b_pts, n_a, n_b, a_col, b_col, nrm_a, nrm_b, ga, gb,
+        a_col_s, b_col_s, nrm_a_s, nrm_b_s, qt8_a, qt8_b,
+        color_scheme=color_scheme, point_to_plane=point_to_plane,
+        d2_mode=d2_mode, with_boundary=False,
+        prune_cap=prune_cap, prune_fallback=prune_fallback, mxu_ok=mxu_ok,
+    )
+    stats = dict(stats)
+    stats["self_min"], stats["self_max"] = mn_a, mx_a
+    stats["nn_overflow"] = stats["nn_overflow"] | ov_a | ov_b
+    cacheables = {
+        "ga": ga, "gb": gb, "qt8_a": qt8_a, "qt8_b": qt8_b,
+        "nrm_a": nrm_a, "nrm_b": nrm_b,
+        "nrm_a_s": nrm_a_s, "nrm_b_s": nrm_b_s,
+        "a_col_s": a_col_s, "b_col_s": b_col_s,
+        "boundary_a": (mn_a, mx_a), "boundary_b": (mn_b, mx_b),
+    }
+    return stats, cacheables
+
+
+def _cold_fold_applicable(a, b, point_to_plane, backend):
+    """The one-dispatch cold fold handles the common big-cloud case; every
+    corner (small clouds, file normals, warm caches, non-pruned backends)
+    keeps the stepwise path, whose behaviour is unchanged."""
+    from .normals import DEFAULT_KNN, _PRUNE_THRESHOLD
+
+    return (
+        backend == "pruned"
+        and point_to_plane
+        and a.normals is None and b.normals is None
+        and getattr(a, "_est_normals", None) is None
+        and getattr(b, "_est_normals", None) is None
+        and getattr(a, "_grid", None) is None
+        and getattr(b, "_grid", None) is None
+        and getattr(a, "_boundary_stats", None) is None
+        and min(a.padded_size, b.padded_size) >= _PRUNE_THRESHOLD
+        and min(int(a.n), int(b.n)) >= max(DEFAULT_KNN, 2)
+        and a.points.dtype == b.points.dtype
+    )
+
+
+def _fused_evaluate_cold(a, b, color_scheme, point_to_plane, d2_mode,
+                         peak):
+    """fused_evaluate body for the fully-cold estimation case (one dispatch
+    + one host OBB overlapped). Returns None when the program overflows a
+    certificate (caller re-runs stepwise with escalation)."""
+    import os as _os
+
+    obb_future = None
+    if peak is None:
+        import concurrent.futures as _cf
+
+        _pool = _cf.ThreadPoolExecutor(1)
+        obb_future = _pool.submit(a.get_obb_extent)
+        _pool.shutdown(wait=False)
+    mxu_ok = (a.points.dtype == jnp.float32
+              and a.mxu_exact() and b.mxu_exact())
+    from .normals import _LADDER_MEMO as _EST_MEMO
+
+    base_cap = int(_os.environ.get("PCC_NN_CAP", "32"))
+    memo_key = (a.padded_size, b.padded_size, str(a.points.dtype),
+                color_scheme, point_to_plane, d2_mode, "pruned")
+    cap, fallback = ladder_lookup(_LADDER_MEMO, memo_key, (base_cap, 256))
+    kcap_a, kft_a = ladder_lookup(_EST_MEMO, (a.padded_size, 30), (64, 256))
+    kcap_b, kft_b = ladder_lookup(_EST_MEMO, (b.padded_size, 30), (64, 256))
+    kcap, kft = max(kcap_a, kcap_b), max(kft_a, kft_b)
+    stats, cache = cold_pair_program(
+        a.points, b.points, jnp.asarray(a.n), jnp.asarray(b.n),
+        a_col=a.colors, b_col=b.colors,
+        color_scheme=color_scheme, point_to_plane=point_to_plane,
+        d2_mode=d2_mode, knn_cap=kcap, knn_ft=kft,
+        prune_cap=cap, prune_fallback=fallback, mxu_ok=mxu_ok,
+    )
+    stats = jax.device_get(stats)  # one round-trip for scalars + overflow
+    if bool(stats["nn_overflow"]):
+        if obb_future is not None:
+            a._obb_extent = obb_future.result()
+        return None
+    ladder_store(_LADDER_MEMO, memo_key, (cap, fallback))
+    ladder_store(_EST_MEMO, (a.padded_size, 30), (kcap, kft))
+    ladder_store(_EST_MEMO, (b.padded_size, 30), (kcap, kft))
+    # Cache the device-side per-Cloud state exactly like the stepwise path.
+    a._grid, b._grid = cache["ga"], cache["gb"]
+    a._qt8, b._qt8 = cache["qt8_a"], cache["qt8_b"]
+    a._est_normals, b._est_normals = cache["nrm_a"], cache["nrm_b"]
+    a._sorted_normals = cache["nrm_a_s"]
+    b._sorted_normals = cache["nrm_b_s"]
+    if cache["a_col_s"] is not None:
+        a._sorted_colors = cache["a_col_s"]
+        b._sorted_colors = cache["b_col_s"]
+    a._boundary_stats = cache["boundary_a"]
+    b._boundary_stats = cache["boundary_b"]
+    if peak is not None:
+        extent_peak = float(peak)
+    elif obb_future is not None:
+        extent_peak = float(np.max(obb_future.result()))
+    else:
+        extent_peak = float(np.max(a.get_obb_extent()))
+    return finalize_stats(
+        stats, extent_peak, color_scheme=color_scheme,
+        point_to_plane=point_to_plane, peak=peak,
+    )
+
+
 def fused_evaluate(
     a, b, color_scheme=None, point_to_plane=False, d2_mode="reference",
     backend: str = "auto", peak: typing.Optional[float] = None,
@@ -563,6 +707,13 @@ def fused_evaluate(
             "reference D2 mode requires n_origin <= n_reconst "
             f"(got {a.n} > {b.n}); use d2_mode='pc_error'"
         )
+    if _cold_fold_applicable(a, b, point_to_plane, backend):
+        out = _fused_evaluate_cold(a, b, color_scheme, point_to_plane,
+                                   d2_mode, peak)
+        if out is not None:
+            return out
+        # A certificate overflowed inside the one-dispatch program: the
+        # stepwise path below re-runs with per-stage escalation ladders.
     # The OBB peak is host-side work (qhull over the origin cloud, ~0.35 s
     # at 800k) with no device dependency: overlap it with the device passes
     # below instead of serialising after them. Only needed when no user

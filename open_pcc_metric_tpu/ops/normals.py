@@ -116,16 +116,49 @@ def estimate_normals(
 _LADDER_MEMO: dict = {}
 
 
+def estimation_core(g, n, k, cap, ft):
+    """Traceable estimation body over a prebuilt grid (one certificate rung).
+
+    Normals come straight from the in-kernel moment sums (no (P, k, 3)
+    neighbour gather — measured 247 ms/800k cloud — and no (P, k)
+    index-table unsort; only the (P, 3) normals are unsorted). The k-NN is
+    self-inclusive, so slot 1 IS the nearest OTHER point: the intra-cloud
+    boundary stats (reference compute_nearest_neighbor_distance,
+    cloud_pair.py:108-109) fall out for free.
+
+    Returns ``(nrm_orig, nrm_sorted, mn, mx, overflow)``. Composable under
+    an outer jit (the cold-pair fold in ops/fused.py) — callers own the
+    escalation loop on ``overflow``.
+    """
+    from .knn_pruned import knn_pruned_sorted
+
+    dk, ik, overflow, mom = knn_pruned_sorted(
+        g, g, n, k, cap=cap, fallback_tiles=ft, with_moments=True)
+    p = g.perm.shape[0]
+    valid = jnp.arange(p) < n
+    d1 = jnp.sqrt(jnp.maximum(dk[:, min(k - 1, 1)], 0.0))
+    mn = jnp.min(jnp.where(valid, d1, jnp.inf))
+    mx = jnp.max(jnp.where(valid, d1, -jnp.inf))
+    nrm_sorted = normals_from_moments(mom)
+    inv = jnp.zeros(p, jnp.int32).at[g.perm].set(
+        jnp.arange(p, dtype=jnp.int32))
+    return jnp.take(nrm_sorted, inv, axis=0), nrm_sorted, mn, mx, overflow
+
+
+_estimation_jit = jax.jit(estimation_core,
+                          static_argnames=("k", "cap", "ft"))
+
+
 def estimate_normals_cloud(cloud, k: int = DEFAULT_KNN) -> jnp.ndarray:
     """Estimate normals reusing the Cloud's cached Morton grid.
 
     ``estimate_normals`` on raw points rebuilds the chunk grid with an
     on-device sort per call; clouds already carry a host-built grid, so the
     fused path (ops/fused.fused_evaluate) goes through here. Same escalation
-    ladder and results as knn_pruned + normals_from_neighbors.
+    ladder and results as knn_pruned + normals_from_neighbors; the k-NN,
+    moment epilogue and boundary stats run as ONE jit program per rung.
     """
     from .grid import CHUNK
-    from .knn_pruned import knn_pruned_sorted
 
     p = cloud.padded_size
     # Small clouds: brute k-NN beats grids. Clouds with fewer than k valid
@@ -140,41 +173,20 @@ def estimate_normals_cloud(cloud, k: int = DEFAULT_KNN) -> jnp.ndarray:
     memo_key = (p, k)
     cap, ft = ladder_lookup(_LADDER_MEMO, memo_key, (64, 256))
     while True:
-        dk, ik, overflow, mom = knn_pruned_sorted(
-            g, g, jnp.asarray(cloud.n), k, cap=cap, fallback_tiles=ft,
-            with_moments=True)
+        nrm, nrm_sorted, mn, mx, overflow = _estimation_jit(
+            g, jnp.asarray(cloud.n), k, cap, ft)
         # Exact iff certified or stage 1 refined every chunk.
         if not bool(overflow) or cap >= ncb:
             ladder_store(_LADDER_MEMO, memo_key, (cap, ft))
             break
         cap = min(cap * 4, ncb)
         ft = min(ft * 4, nta)
-    nrm, mn, mx = _estimation_epilogue(mom, dk[:, min(k - 1, 1)], g.perm,
-                                       jnp.asarray(cloud.n))
-    # Shared work (VERDICT r2 item 2): the k-NN includes the query itself at
-    # slot 0, so slot 1 IS the intra-cloud nearest-neighbour distance — the
-    # boundary stats (reference compute_nearest_neighbor_distance,
-    # cloud_pair.py:108-109) fall out of the estimation pass for free.
-    # Cache them per Cloud exactly like ops.fused.boundary_stats would.
+    # Shared work (VERDICT r2 item 2): boundary stats come free from the
+    # estimation pass; the sorted normals feed the pruned pair_stats
+    # payload without another per-cloud gather. Cache both per Cloud.
     if k >= 2 and int(cloud.n) >= 2 \
             and getattr(cloud, "_boundary_stats", None) is None:
         cloud._boundary_stats = (mn, mx)
+    if getattr(cloud, "_sorted_normals", None) is None:
+        cloud._sorted_normals = nrm_sorted
     return nrm
-
-
-@jax.jit
-def _estimation_epilogue(mom, dk1, perm, n):
-    """One-dispatch tail of estimate_normals_cloud: normals straight from
-    the in-kernel moment sums (no (P, k, 3) neighbour gather — measured
-    247 ms/800k cloud — and no (P, k) index-table unsort; only the (P, 3)
-    normals are unsorted), plus the free intra-cloud boundary stats from
-    k-NN slot 1."""
-    p = perm.shape[0]
-    valid = jnp.arange(p) < n
-    d1 = jnp.sqrt(jnp.maximum(dk1, 0.0))
-    mn = jnp.min(jnp.where(valid, d1, jnp.inf))
-    mx = jnp.max(jnp.where(valid, d1, -jnp.inf))
-    nrm_sorted = normals_from_moments(mom)
-    inv = jnp.zeros(p, jnp.int32).at[perm].set(
-        jnp.arange(p, dtype=jnp.int32))
-    return jnp.take(nrm_sorted, inv, axis=0), mn, mx

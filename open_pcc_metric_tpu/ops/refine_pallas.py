@@ -817,11 +817,11 @@ def refine_nn_pallas_t(
 
 
 def _knn_kernel_t(cand_ref, aux_ref, off_ref, qt_ref, *rest, k, exclude_self,
-                  has_init=False, has_ncand=False):
+                  cs=1, has_init=False, has_ncand=False):
     tt = _TILES_PER_STEP
-    b_refs = rest[:tt]
-    borig_refs = rest[tt : 2 * tt]
-    k0 = 2 * tt
+    b_refs = rest[: tt * cs]
+    borig_refs = rest[tt * cs : 2 * tt * cs]
+    k0 = 2 * tt * cs
     if has_init:
         initd_ref, initi_ref = rest[k0], rest[k0 + 1]
         k0 += 2
@@ -842,9 +842,9 @@ def _knn_kernel_t(cand_ref, aux_ref, off_ref, qt_ref, *rest, k, exclude_self,
             ik_ref[:] = jnp.full_like(ik_ref, INT_MAX)
 
     q = qt_ref[:]  # (8, tt*CHUNK)
-    for t in range(tt):
-        def _tile_slot(t=t):
-            b = b_refs[t][:]  # (CHUNK, 8)
+    for t, c in [(t_, c_) for t_ in range(tt) for c_ in range(cs)]:
+        def _tile_slot(t=t, c=c):
+            b = b_refs[t * cs + c][:]  # (CHUNK, 8)
             d = None
             for kk in range(3):
                 bk = b[:, kk].reshape(CHUNK, 1)
@@ -853,7 +853,7 @@ def _knn_kernel_t(cand_ref, aux_ref, off_ref, qt_ref, *rest, k, exclude_self,
                 d = diff * diff if d is None else d + diff * diff
             # d: (cand, query)
             if exclude_self:
-                cj = cand_ref[i * tt + t, j]
+                cj = cand_ref[i * tt + t, j * cs + c]
                 crow = jax.lax.broadcasted_iota(
                     jnp.int32, (CHUNK, CHUNK), 0) + cj * CHUNK
                 qcol = jax.lax.broadcasted_iota(
@@ -865,7 +865,7 @@ def _knn_kernel_t(cand_ref, aux_ref, off_ref, qt_ref, *rest, k, exclude_self,
             run_i = ik_ref[t * k : (t + 1) * k, :]
             # Tie-aware gate (see _knn_kernel): equality fires the merge
             # only when it can lower the k-th ORIGINAL index.
-            bor0 = borig_refs[t][:]  # (CHUNK, 1)
+            bor0 = borig_refs[t * cs + c][:]  # (CHUNK, 1)
             mind = jnp.min(d, axis=0)
             ii_at_min = jnp.min(
                 jnp.where(d == mind[None, :],
@@ -877,8 +877,8 @@ def _knn_kernel_t(cand_ref, aux_ref, off_ref, qt_ref, *rest, k, exclude_self,
             )
 
             @pl.when(improves)
-            def _merge(t=t, d=d, run_d=run_d, run_i=run_i):
-                bor = jnp.broadcast_to(borig_refs[t][:], d.shape)
+            def _merge(t=t, c=c, d=d, run_d=run_d, run_i=run_i):
+                bor = jnp.broadcast_to(borig_refs[t * cs + c][:], d.shape)
                 cand_d = jnp.concatenate([run_d, d], axis=0)  # (k+C, CHUNK)
                 cand_i = jnp.concatenate([run_i, bor], axis=0)
                 dcur = cand_d
@@ -895,56 +895,60 @@ def _knn_kernel_t(cand_ref, aux_ref, off_ref, qt_ref, *rest, k, exclude_self,
             # Low-overhead count gate (see _nn_kernel_t): one SMEM scalar
             # compare skips the whole tile-slot compute beyond the tile's
             # certificate-derived candidate need.
-            pl.when(j < aux_ref[i * tt + t])(_tile_slot)
+            pl.when(j * cs + c < aux_ref[i * tt + t])(_tile_slot)
         else:
             _tile_slot()
 
 
 def _knn_group_t(qt8_g, tbase, b8r, borig_col, cand_g, aux_g, k, exclude_self,
-                 interpret, init_g=None, has_ncand=False):
+                 interpret, init_g=None, has_ncand=False, cs=1):
     gt, cap = cand_g.shape
     tt = _TILES_PER_STEP
+    while cap % cs:
+        cs //= 2
 
-    def _slot_idx(i, j, cand, aux, t):
+    def _slot_idx(i, j, cand, aux, t, c):
         row = i * tt + t
+        slot = j * cs + c
         if not has_ncand:
-            return cand[row, j]
+            return cand[row, slot]
         # See _nn_group_t: unchanged block index -> Pallas skips the copy.
         n = aux[row]
-        eff = jnp.where(n > 0, jnp.minimum(j, n - 1), 0)
+        eff = jnp.where(n > 0, jnp.minimum(slot, n - 1), 0)
         return cand[row, eff]
 
-    def b_spec(t):
+    def b_spec(t, c):
         return pl.BlockSpec(
             (CHUNK, 8),
-            lambda i, j, cand, aux, off, t=t: (_slot_idx(i, j, cand, aux, t),
-                                               0)
+            lambda i, j, cand, aux, off, t=t, c=c: (
+                _slot_idx(i, j, cand, aux, t, c), 0)
         )
 
-    def bor_spec(t):
+    def bor_spec(t, c):
         return pl.BlockSpec(
             (CHUNK, 1),
-            lambda i, j, cand, aux, off, t=t: (_slot_idx(i, j, cand, aux, t),
-                                               0)
+            lambda i, j, cand, aux, off, t=t, c=c: (
+                _slot_idx(i, j, cand, aux, t, c), 0)
         )
 
     io_spec = pl.BlockSpec((tt * k, CHUNK),
                            lambda i, j, cand, aux, off: (i, 0))
     kernel = functools.partial(_knn_kernel_t, k=k, exclude_self=exclude_self,
+                               cs=cs,
                                has_init=init_g is not None,
                                has_ncand=has_ncand)
     in_specs = (
         [pl.BlockSpec((8, tt * CHUNK), lambda i, j, cand, aux, off: (0, i))]
-        + [b_spec(t) for t in range(tt)]
-        + [bor_spec(t) for t in range(tt)]
+        + [b_spec(t, c) for t in range(tt) for c in range(cs)]
+        + [bor_spec(t, c) for t in range(tt) for c in range(cs)]
     )
-    operands = [qt8_g] + [b8r] * tt + [borig_col] * tt
+    operands = [qt8_g] + [b8r] * (tt * cs) + [borig_col] * (tt * cs)
     if init_g is not None:
         in_specs += [io_spec, io_spec]
         operands += [init_g[0], init_g[1]]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # cand table, ncand gate (or dummy), offset
-        grid=(gt // tt, cap),
+        grid=(gt // tt, cap // cs),
         in_specs=in_specs,
         out_specs=[io_spec, io_spec],
     )
@@ -973,7 +977,7 @@ def _rows_to_kbuf(x, k):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "exclude_self", "interpret")
+    jax.jit, static_argnames=("k", "exclude_self", "interpret", "cs")
 )
 def refine_knn_pallas_t(
     qt8: jnp.ndarray,
@@ -986,12 +990,18 @@ def refine_knn_pallas_t(
     interpret: bool = False,
     init: typing.Optional[typing.Tuple[jnp.ndarray, jnp.ndarray]] = None,
     # optional ((P, k) f32, (P, k) i32) ascending k-buffers to seed from
+    cs: int = 1,
 ):
     """Transposed-layout k-NN refine; ascending (dk, idx) like the others.
 
     ``ncand``/``init`` mirror refine_nn_pallas_t: the per-tile SMEM count
     gate plus seeding from an earlier pass's exact k-buffer (both require
-    qt8 padded to whole 8-tile groups).
+    qt8 padded to whole 8-tile groups). ``cs`` = candidate slots per grid
+    step: count-gated passes whose slots are mostly clamped off pay a
+    ~2.3 us fixed cost per grid STEP (measured: a fully-clamped 56-slot
+    extension costs 53 ms at 800k doing zero compute), so gated callers
+    batch cs=4 slots per step to quarter it; each slot keeps its own
+    SMEM gate + clamped index map.
     """
     nta, cap = cand.shape
     has_ncand = ncand is not None
@@ -1060,7 +1070,7 @@ def refine_knn_pallas_t(
         dk, ik = _knn_group_t(
             jax.lax.slice_in_dim(qt8, g0 * CHUNK, (g0 + use) * CHUNK, axis=1),
             jnp.array([g0], jnp.int32), b8r, borig_col, cand_g, aux_g, k,
-            exclude_self, interpret, init_g, has_ncand,
+            exclude_self, interpret, init_g, has_ncand, cs,
         )
         d_parts.append(dk[: gt * CHUNK])
         i_parts.append(ik[: gt * CHUNK])
@@ -1252,11 +1262,11 @@ MOM_CH = 10  # [cnt, sx, sy, sz, sxx, syy, szz, sxy, sxz, syz]
 
 
 def _moments_kernel_t(cand_ref, aux_ref, off_ref, qt_ref, *rest,
-                      has_init=False):
+                      has_init=False, cs=1):
     tt = _TILES_PER_STEP
-    b_refs = rest[:tt]
-    borig_refs = rest[tt : 2 * tt]
-    k0 = 2 * tt
+    b_refs = rest[: tt * cs]
+    borig_refs = rest[tt * cs : 2 * tt * cs]
+    k0 = 2 * tt * cs
     rk_ref, ikth_ref = rest[k0], rest[k0 + 1]
     k0 += 2
     if has_init:
@@ -1274,9 +1284,9 @@ def _moments_kernel_t(cand_ref, aux_ref, off_ref, qt_ref, *rest,
             mom_ref[:] = jnp.zeros_like(mom_ref)
 
     q = qt_ref[:]  # (8, tt*CHUNK)
-    for t in range(tt):
-        def _tile_slot(t=t):
-            b = b_refs[t][:]  # (CHUNK, 8) candidate chunk rows
+    for t, c in [(t_, c_) for t_ in range(tt) for c_ in range(cs)]:
+        def _tile_slot(t=t, c=c):
+            b = b_refs[t * cs + c][:]  # (CHUNK, 8) candidate chunk rows
             diffs = []
             d = None
             for kk in range(3):
@@ -1289,7 +1299,7 @@ def _moments_kernel_t(cand_ref, aux_ref, off_ref, qt_ref, *rest,
                 d = diff * diff if d is None else d + diff * diff
             rk = rk_ref[t : t + 1, :]     # (1, CHUNK) k-th distance
             ikt = ikth_ref[t : t + 1, :]  # (1, CHUNK) k-th original idx
-            bor = borig_refs[t][:]        # (CHUNK, 1) original ids
+            bor = borig_refs[t * cs + c][:]  # (CHUNK, 1) original ids
             member = (d < rk) | ((d == rk) & (bor <= ikt))
             m = member.astype(jnp.float32)
             dx, dy, dz = diffs
@@ -1307,54 +1317,58 @@ def _moments_kernel_t(cand_ref, aux_ref, off_ref, qt_ref, *rest,
 
         # Always count-gated: ncand is the tile's certificate count, the
         # exact cover of its k-NN members' chunks.
-        pl.when(j < aux_ref[i * tt + t])(_tile_slot)
+        pl.when(j * cs + c < aux_ref[i * tt + t])(_tile_slot)
 
 
 def _moments_group_t(qt8_g, tbase, b8r, borig_col, cand_g, aux_g, rk_g,
-                     ik_g, interpret, init_g=None):
+                     ik_g, interpret, init_g=None, cs=1):
     gt, cap = cand_g.shape
     tt = _TILES_PER_STEP
+    while cap % cs:
+        cs //= 2
 
-    def _slot_idx(i, j, cand, aux, t):
+    def _slot_idx(i, j, cand, aux, t, c):
         row = i * tt + t
+        slot = j * cs + c
         # Gated slots re-address the tile's LAST live block (see
         # _nn_group_t): unchanged block index -> Pallas elides the copy.
         n = aux[row]
-        eff = jnp.where(n > 0, jnp.minimum(j, n - 1), 0)
+        eff = jnp.where(n > 0, jnp.minimum(slot, n - 1), 0)
         return cand[row, eff]
 
-    def b_spec(t):
+    def b_spec(t, c):
         return pl.BlockSpec(
             (CHUNK, 8),
-            lambda i, j, cand, aux, off, t=t: (_slot_idx(i, j, cand, aux, t),
-                                               0)
+            lambda i, j, cand, aux, off, t=t, c=c: (
+                _slot_idx(i, j, cand, aux, t, c), 0)
         )
 
-    def bor_spec(t):
+    def bor_spec(t, c):
         return pl.BlockSpec(
             (CHUNK, 1),
-            lambda i, j, cand, aux, off, t=t: (_slot_idx(i, j, cand, aux, t),
-                                               0)
+            lambda i, j, cand, aux, off, t=t, c=c: (
+                _slot_idx(i, j, cand, aux, t, c), 0)
         )
 
     th_spec = pl.BlockSpec((tt, CHUNK), lambda i, j, cand, aux, off: (i, 0))
     mom_spec = pl.BlockSpec((tt * MOM_CH, CHUNK),
                             lambda i, j, cand, aux, off: (i, 0))
     kernel = functools.partial(_moments_kernel_t,
-                               has_init=init_g is not None)
+                               has_init=init_g is not None, cs=cs)
     in_specs = (
         [pl.BlockSpec((8, tt * CHUNK), lambda i, j, cand, aux, off: (0, i))]
-        + [b_spec(t) for t in range(tt)]
-        + [bor_spec(t) for t in range(tt)]
+        + [b_spec(t, c) for t in range(tt) for c in range(cs)]
+        + [bor_spec(t, c) for t in range(tt) for c in range(cs)]
         + [th_spec, th_spec]
     )
-    operands = [qt8_g] + [b8r] * tt + [borig_col] * tt + [rk_g, ik_g]
+    operands = ([qt8_g] + [b8r] * (tt * cs) + [borig_col] * (tt * cs)
+                + [rk_g, ik_g])
     if init_g is not None:
         in_specs += [mom_spec]
         operands += [init_g]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # cand table, ncand gate, tile offset
-        grid=(gt // tt, cap),
+        grid=(gt // tt, cap // cs),
         in_specs=in_specs,
         out_specs=[mom_spec],
     )
