@@ -400,12 +400,18 @@ def nn_pruned_sorted(
         i1 = i1[: nta * CHUNK].reshape(nta, CHUNK)
         counts1 = _ub_counts(d1, valid_t, lb, eps)
         ncand2 = jnp.clip(counts1 - p1, 0, cap - p1).astype(jnp.int32)
+        # cs=2 batches 2 gated slots per grid step: the extension executes
+        # a mean of ~4 of its 24 slots (p50=1, 47% zero at 800k), and each
+        # clamped slot still costs ~1 us of per-grid-step overhead — ~9 ms
+        # of the 14.5 ms extension pass before batching. cs=4 overruns the
+        # 16 MB scoped-VMEM budget (by 64 KB) at 800k shapes.
+        ext_cs = int(_os2.environ.get("PCC_NN_EXT_CS", "2"))
         d2, i2 = refine_nn_pallas_t(
             q8c, b8r, borig_row, cand[:, p1:],
             ncand=ncand2,
             exclude_self=exclude_self,
             interpret=(impl == "pallas_interpret"),
-            init=(d1, i1),
+            init=(d1, i1), cs=ext_cs,
         )
         dmin = d2[: nta * CHUNK].reshape(nta, CHUNK)
         gidx = i2[: nta * CHUNK].reshape(nta, CHUNK)
@@ -489,6 +495,7 @@ def nn_pruned_sorted(
                 exclude_self=False,
                 interpret=(impl == "pallas_interpret"),
                 expanded=use_expanded,
+                cs=2 if ncand is not None else None,
             )
             return (fd.reshape(nt_pad, CHUNK)[:nt],
                     fi.reshape(nt_pad, CHUNK)[:nt])

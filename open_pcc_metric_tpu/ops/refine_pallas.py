@@ -522,13 +522,46 @@ def select_candidates_pallas(
 _TILES_PER_STEP = 8
 
 
+def _pack_ids_col7(b8r: jnp.ndarray, borig: jnp.ndarray) -> jnp.ndarray:
+    """Bitcast the rows' ORIGINAL ids into lane 7 of the (Pb, 8) blocks.
+
+    One candidate block then carries coords AND ids: half the block specs,
+    half the per-slot index-map evaluations on the scalar core, half the
+    DMA issues. Lane 7 is zero-padding in both the plain ([x,y,z,0*5]) and
+    expanded ([x,y,z,sq,0*4]) packings; the kernels never read it as f32.
+    XLA CSEs the pack across the refine calls of one compiled program.
+    """
+    ids = jax.lax.bitcast_convert_type(
+        borig.reshape(-1).astype(jnp.int32), jnp.float32)
+    return b8r.at[:, 7].set(ids)
+
+
+def _ids_from_col7(b: jnp.ndarray) -> jnp.ndarray:
+    """(CHUNK, 8) packed block -> (CHUNK, 1) int32 original ids."""
+    return jax.lax.bitcast_convert_type(b[:, 7:8], jnp.int32)
+
+
+def _clamp_cand(cand: jnp.ndarray, ncand: jnp.ndarray) -> jnp.ndarray:
+    """Pre-clamp a count-gated candidate table: slots >= ncand[t] re-read
+    the tile's last live slot (slot 0 for empty tiles). Unchanged block
+    index => Pallas elides the copy, and the in-kernel index map stays a
+    plain SMEM lookup instead of per-spec min/where arithmetic."""
+    cap = cand.shape[1]
+    slots = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    eff = jnp.minimum(slots, jnp.maximum(ncand - 1, 0)[:, None])
+    return jnp.take_along_axis(cand, eff, axis=1)
+
+
 def _nn_kernel_t(cand_ref, aux_ref, off_ref, qt_ref, *rest, exclude_self,
                  expanded, cs=1, has_init=False, has_ncand=False):
+    # Candidate blocks carry their rows' ORIGINAL ids bitcast into lane 7
+    # (see _pack_ids_col7): one block spec per slot instead of two — the
+    # scalar core pays an index-map evaluation per (slot x spec) per grid
+    # step, which dominates count-gated passes whose slots are mostly
+    # clamped off.
     tt = _TILES_PER_STEP
     k0 = tt * cs
     b_refs = rest[:k0]
-    borig_refs = rest[k0 : 2 * k0]
-    k0 = 2 * k0
     if has_init:
         initd_ref, initi_ref = rest[k0], rest[k0 + 1]
         k0 += 2
@@ -590,17 +623,28 @@ def _nn_kernel_t(cand_ref, aux_ref, off_ref, qt_ref, *rest, exclude_self,
                     + (off_ref[0] + i * tt + t) * CHUNK
                 d = jnp.where(crow == qcol, jnp.inf, d)
             dmin = jnp.min(d, axis=0, keepdims=True)  # (1, CHUNK) lane-major
-            at_min = d == dmin
-            bor = borig_refs[t * cs + c][:]  # (CHUNK, 1)
-            ii = jnp.min(
-                jnp.where(at_min, jnp.broadcast_to(bor, d.shape), INT_MAX),
-                axis=0, keepdims=True,
-            )
+            # Candidates arrive lb-ascending, so later chunks usually beat
+            # no query: gate the 3-pass tie-break extraction + update on
+            # any (dmin <= best) — non-strict, so an exact tie still runs
+            # the extraction and can lower the winning original index
+            # (bit-exact vs ungated; same gate as the straight-layout
+            # kernel).
             prev_d = bestd_ref[t : t + 1, :]
-            prev_i = besti_ref[t : t + 1, :]
-            better = (dmin < prev_d) | ((dmin == prev_d) & (ii < prev_i))
-            bestd_ref[t : t + 1, :] = jnp.where(better, dmin, prev_d)
-            besti_ref[t : t + 1, :] = jnp.where(better, ii, prev_i)
+            relevant = jnp.any(dmin <= prev_d)
+
+            @pl.when(relevant)
+            def _update(t=t, c=c, b=b, d=d, dmin=dmin, prev_d=prev_d):
+                at_min = d == dmin
+                bor = _ids_from_col7(b)  # (CHUNK, 1) original ids
+                ii = jnp.min(
+                    jnp.where(at_min, jnp.broadcast_to(bor, d.shape),
+                              INT_MAX),
+                    axis=0, keepdims=True,
+                )
+                prev_i = besti_ref[t : t + 1, :]
+                better = (dmin < prev_d) | ((dmin == prev_d) & (ii < prev_i))
+                bestd_ref[t : t + 1, :] = jnp.where(better, dmin, prev_d)
+                besti_ref[t : t + 1, :] = jnp.where(better, ii, prev_i)
 
         if has_ncand:
             pl.when(j * cs + c < aux_ref[i * tt + t])(_tile_slot)
@@ -608,7 +652,7 @@ def _nn_kernel_t(cand_ref, aux_ref, off_ref, qt_ref, *rest, exclude_self,
             _tile_slot()
 
 
-def _nn_group_t(qt8_g, tbase, b8r, borig_col, cand_g, aux_g, exclude_self,
+def _nn_group_t(qt8_g, tbase, b8p, cand_g, aux_g, exclude_self,
                 interpret, expanded=False, cs=1, init_g=None,
                 has_ncand=False):
     gt, cap = cand_g.shape
@@ -616,32 +660,16 @@ def _nn_group_t(qt8_g, tbase, b8r, borig_col, cand_g, aux_g, exclude_self,
     while cap % cs:
         cs //= 2
 
-    def _slot_idx(i, j, cand, aux, t, c):
-        row = i * tt + t
-        slot = j * cs + c
-        if not has_ncand:
-            return cand[row, slot]
-        # Gated slots re-address the tile's LAST live block: an unchanged
-        # block index means Pallas skips the copy entirely, so skipped
-        # slots cost neither VPU time (pl.when) nor DMA latency. Without
-        # this clamp the gate saves almost nothing — the pipeline stalls
-        # on each skipped slot's (useless) fetch.
-        n = aux[row]
-        eff = jnp.where(n > 0, jnp.minimum(slot, n - 1), 0)
-        return cand[row, eff]
-
+    # Gated candidate tables arrive PRE-CLAMPED (_clamp_cand): slots past a
+    # tile's live count re-address its last live block, so Pallas elides
+    # both the copy (unchanged block index) and the index-map arithmetic —
+    # one plain SMEM lookup per spec. Without the clamp the gate saves
+    # almost nothing: each skipped slot stalls on its own (useless) fetch.
     def b_spec(t, c):
         return pl.BlockSpec(
             (CHUNK, 8),
             lambda i, j, cand, aux, off, t=t, c=c: (
-                _slot_idx(i, j, cand, aux, t, c), 0)
-        )
-
-    def bor_spec(t, c):
-        return pl.BlockSpec(
-            (CHUNK, 1),
-            lambda i, j, cand, aux, off, t=t, c=c: (
-                _slot_idx(i, j, cand, aux, t, c), 0)
+                cand[i * tt + t, j * cs + c], 0)
         )
 
     io_spec = pl.BlockSpec((tt, CHUNK), lambda i, j, cand, aux, off: (i, 0))
@@ -653,9 +681,8 @@ def _nn_group_t(qt8_g, tbase, b8r, borig_col, cand_g, aux_g, exclude_self,
         [pl.BlockSpec((8, tt * CHUNK),
                       lambda i, j, cand, aux, off: (0, i))]
         + [b_spec(t, c) for t in range(tt) for c in range(cs)]
-        + [bor_spec(t, c) for t in range(tt) for c in range(cs)]
     )
-    operands = [qt8_g] + [b8r] * (tt * cs) + [borig_col] * (tt * cs)
+    operands = [qt8_g] + [b8p] * (tt * cs)
     if init_g is not None:
         in_specs += [io_spec, io_spec]
         operands += [init_g[0], init_g[1]]
@@ -723,7 +750,8 @@ def refine_nn_pallas_t(
         aux = jnp.zeros((nta, 1), jnp.int32)
     else:
         aux = ncand.astype(jnp.int32).reshape(nta)
-    borig_col = borig.reshape(-1, 1)  # (Pb, 1)
+        cand = _clamp_cand(cand, aux)
+    b8p = _pack_ids_col7(b8r, borig)
     tt = _TILES_PER_STEP
     # Scalar-prefetch tables live in ~1 MB SMEM: bound rows so
     # (cand + lbc) * cap fits even at escalated caps (cap=512 after a
@@ -793,7 +821,7 @@ def refine_nn_pallas_t(
                          jnp.full((pad_rows, CHUNK), INT_MAX, jnp.int32)]),
                 )
             d_g, i_g = _nn_group_t(
-                q_g, jnp.array([g0], jnp.int32), b8r, borig_col, cand_g,
+                q_g, jnp.array([g0], jnp.int32), b8p, cand_g,
                 aux_g, exclude_self, interpret, expanded, cs, init_g,
                 has_ncand,
             )
@@ -807,7 +835,7 @@ def refine_nn_pallas_t(
                 jax.lax.slice_in_dim(
                     qt8, g0 * CHUNK, (g0 + gt) * CHUNK, axis=1
                 ),
-                jnp.array([g0], jnp.int32), b8r, borig_col,
+                jnp.array([g0], jnp.int32), b8p,
                 cand[g0 : g0 + gt], aux[g0 : g0 + gt], exclude_self,
                 interpret, expanded, cs, init_g, has_ncand,
             )
@@ -818,10 +846,11 @@ def refine_nn_pallas_t(
 
 def _knn_kernel_t(cand_ref, aux_ref, off_ref, qt_ref, *rest, k, exclude_self,
                   cs=1, has_init=False, has_ncand=False):
+    # Candidate blocks carry their rows' ORIGINAL ids bitcast into lane 7
+    # (_pack_ids_col7): one block spec per slot instead of two.
     tt = _TILES_PER_STEP
     b_refs = rest[: tt * cs]
-    borig_refs = rest[tt * cs : 2 * tt * cs]
-    k0 = 2 * tt * cs
+    k0 = tt * cs
     if has_init:
         initd_ref, initi_ref = rest[k0], rest[k0 + 1]
         k0 += 2
@@ -865,7 +894,7 @@ def _knn_kernel_t(cand_ref, aux_ref, off_ref, qt_ref, *rest, k, exclude_self,
             run_i = ik_ref[t * k : (t + 1) * k, :]
             # Tie-aware gate (see _knn_kernel): equality fires the merge
             # only when it can lower the k-th ORIGINAL index.
-            bor0 = borig_refs[t * cs + c][:]  # (CHUNK, 1)
+            bor0 = _ids_from_col7(b)  # (CHUNK, 1)
             mind = jnp.min(d, axis=0)
             ii_at_min = jnp.min(
                 jnp.where(d == mind[None, :],
@@ -876,9 +905,16 @@ def _knn_kernel_t(cand_ref, aux_ref, off_ref, qt_ref, *rest, k, exclude_self,
                 | ((mind == run_d[k - 1, :]) & (ii_at_min < run_i[k - 1, :]))
             )
 
+            # NOTE a tiered small-merge (extract + insertion-sort when no
+            # query has more than E qualifiers) was measured HERE and
+            # reverted: merges concentrate in the PROBE, whose chunks are
+            # buffer-filling (per-query qualifier counts >> E), so the
+            # small tier never fired while its qualifier-count passes made
+            # the probe ~7% slower (157 -> 168 ms at 800k). The extension
+            # is clamp-overhead-bound, not merge-bound (172 ms, flat).
             @pl.when(improves)
-            def _merge(t=t, c=c, d=d, run_d=run_d, run_i=run_i):
-                bor = jnp.broadcast_to(borig_refs[t * cs + c][:], d.shape)
+            def _merge(t=t, c=c, d=d, run_d=run_d, run_i=run_i, bor0=bor0):
+                bor = jnp.broadcast_to(bor0, d.shape)
                 cand_d = jnp.concatenate([run_d, d], axis=0)  # (k+C, CHUNK)
                 cand_i = jnp.concatenate([run_i, bor], axis=0)
                 dcur = cand_d
@@ -900,35 +936,20 @@ def _knn_kernel_t(cand_ref, aux_ref, off_ref, qt_ref, *rest, k, exclude_self,
             _tile_slot()
 
 
-def _knn_group_t(qt8_g, tbase, b8r, borig_col, cand_g, aux_g, k, exclude_self,
+def _knn_group_t(qt8_g, tbase, b8p, cand_g, aux_g, k, exclude_self,
                  interpret, init_g=None, has_ncand=False, cs=1):
     gt, cap = cand_g.shape
     tt = _TILES_PER_STEP
     while cap % cs:
         cs //= 2
 
-    def _slot_idx(i, j, cand, aux, t, c):
-        row = i * tt + t
-        slot = j * cs + c
-        if not has_ncand:
-            return cand[row, slot]
-        # See _nn_group_t: unchanged block index -> Pallas skips the copy.
-        n = aux[row]
-        eff = jnp.where(n > 0, jnp.minimum(slot, n - 1), 0)
-        return cand[row, eff]
-
+    # Gated candidate tables arrive PRE-CLAMPED (_clamp_cand): plain SMEM
+    # lookups in the index maps; unchanged block index => copy elided.
     def b_spec(t, c):
         return pl.BlockSpec(
             (CHUNK, 8),
             lambda i, j, cand, aux, off, t=t, c=c: (
-                _slot_idx(i, j, cand, aux, t, c), 0)
-        )
-
-    def bor_spec(t, c):
-        return pl.BlockSpec(
-            (CHUNK, 1),
-            lambda i, j, cand, aux, off, t=t, c=c: (
-                _slot_idx(i, j, cand, aux, t, c), 0)
+                cand[i * tt + t, j * cs + c], 0)
         )
 
     io_spec = pl.BlockSpec((tt * k, CHUNK),
@@ -940,9 +961,8 @@ def _knn_group_t(qt8_g, tbase, b8r, borig_col, cand_g, aux_g, k, exclude_self,
     in_specs = (
         [pl.BlockSpec((8, tt * CHUNK), lambda i, j, cand, aux, off: (0, i))]
         + [b_spec(t, c) for t in range(tt) for c in range(cs)]
-        + [bor_spec(t, c) for t in range(tt) for c in range(cs)]
     )
-    operands = [qt8_g] + [b8r] * (tt * cs) + [borig_col] * (tt * cs)
+    operands = [qt8_g] + [b8p] * (tt * cs)
     if init_g is not None:
         in_specs += [io_spec, io_spec]
         operands += [init_g[0], init_g[1]]
@@ -1000,7 +1020,7 @@ def refine_knn_pallas_t(
     step: count-gated passes whose slots are mostly clamped off pay a
     ~2.3 us fixed cost per grid STEP (measured: a fully-clamped 56-slot
     extension costs 53 ms at 800k doing zero compute), so gated callers
-    batch cs=4 slots per step to quarter it; each slot keeps its own
+    batch cs=2 slots per step to halve it (cs=4 overruns the 16 MB scoped-VMEM budget at 800k); each slot keeps its own
     SMEM gate + clamped index map.
     """
     nta, cap = cand.shape
@@ -1009,10 +1029,11 @@ def refine_knn_pallas_t(
         aux = jnp.zeros((nta, 1), jnp.int32)
     else:
         aux = ncand.astype(jnp.int32).reshape(nta)
+        cand = _clamp_cand(cand, aux)
     init_kbuf = None
     if init is not None:
         init_kbuf = (_rows_to_kbuf(init[0], k), _rows_to_kbuf(init[1], k))
-    borig_col = borig.reshape(-1, 1)
+    b8p = _pack_ids_col7(b8r, borig)
     tt = _TILES_PER_STEP
     budget_rows = max(tt, (393216 // (4 * cap)) // tt * tt)
     group = min((TILE_GROUP // tt) * tt, budget_rows)
@@ -1069,7 +1090,7 @@ def refine_knn_pallas_t(
                 )
         dk, ik = _knn_group_t(
             jax.lax.slice_in_dim(qt8, g0 * CHUNK, (g0 + use) * CHUNK, axis=1),
-            jnp.array([g0], jnp.int32), b8r, borig_col, cand_g, aux_g, k,
+            jnp.array([g0], jnp.int32), b8p, cand_g, aux_g, k,
             exclude_self, interpret, init_g, has_ncand, cs,
         )
         d_parts.append(dk[: gt * CHUNK])
@@ -1263,10 +1284,10 @@ MOM_CH = 10  # [cnt, sx, sy, sz, sxx, syy, szz, sxy, sxz, syz]
 
 def _moments_kernel_t(cand_ref, aux_ref, off_ref, qt_ref, *rest,
                       has_init=False, cs=1):
+    # Candidate blocks carry original ids in lane 7 (_pack_ids_col7).
     tt = _TILES_PER_STEP
     b_refs = rest[: tt * cs]
-    borig_refs = rest[tt * cs : 2 * tt * cs]
-    k0 = 2 * tt * cs
+    k0 = tt * cs
     rk_ref, ikth_ref = rest[k0], rest[k0 + 1]
     k0 += 2
     if has_init:
@@ -1299,7 +1320,7 @@ def _moments_kernel_t(cand_ref, aux_ref, off_ref, qt_ref, *rest,
                 d = diff * diff if d is None else d + diff * diff
             rk = rk_ref[t : t + 1, :]     # (1, CHUNK) k-th distance
             ikt = ikth_ref[t : t + 1, :]  # (1, CHUNK) k-th original idx
-            bor = borig_refs[t * cs + c][:]  # (CHUNK, 1) original ids
+            bor = _ids_from_col7(b)       # (CHUNK, 1) original ids
             member = (d < rk) | ((d == rk) & (bor <= ikt))
             m = member.astype(jnp.float32)
             dx, dy, dz = diffs
@@ -1320,34 +1341,19 @@ def _moments_kernel_t(cand_ref, aux_ref, off_ref, qt_ref, *rest,
         pl.when(j * cs + c < aux_ref[i * tt + t])(_tile_slot)
 
 
-def _moments_group_t(qt8_g, tbase, b8r, borig_col, cand_g, aux_g, rk_g,
+def _moments_group_t(qt8_g, tbase, b8p, cand_g, aux_g, rk_g,
                      ik_g, interpret, init_g=None, cs=1):
     gt, cap = cand_g.shape
     tt = _TILES_PER_STEP
     while cap % cs:
         cs //= 2
 
-    def _slot_idx(i, j, cand, aux, t, c):
-        row = i * tt + t
-        slot = j * cs + c
-        # Gated slots re-address the tile's LAST live block (see
-        # _nn_group_t): unchanged block index -> Pallas elides the copy.
-        n = aux[row]
-        eff = jnp.where(n > 0, jnp.minimum(slot, n - 1), 0)
-        return cand[row, eff]
-
+    # Candidate tables arrive PRE-CLAMPED (_clamp_cand).
     def b_spec(t, c):
         return pl.BlockSpec(
             (CHUNK, 8),
             lambda i, j, cand, aux, off, t=t, c=c: (
-                _slot_idx(i, j, cand, aux, t, c), 0)
-        )
-
-    def bor_spec(t, c):
-        return pl.BlockSpec(
-            (CHUNK, 1),
-            lambda i, j, cand, aux, off, t=t, c=c: (
-                _slot_idx(i, j, cand, aux, t, c), 0)
+                cand[i * tt + t, j * cs + c], 0)
         )
 
     th_spec = pl.BlockSpec((tt, CHUNK), lambda i, j, cand, aux, off: (i, 0))
@@ -1358,10 +1364,9 @@ def _moments_group_t(qt8_g, tbase, b8r, borig_col, cand_g, aux_g, rk_g,
     in_specs = (
         [pl.BlockSpec((8, tt * CHUNK), lambda i, j, cand, aux, off: (0, i))]
         + [b_spec(t, c) for t in range(tt) for c in range(cs)]
-        + [bor_spec(t, c) for t in range(tt) for c in range(cs)]
         + [th_spec, th_spec]
     )
-    operands = ([qt8_g] + [b8r] * (tt * cs) + [borig_col] * (tt * cs)
+    operands = ([qt8_g] + [b8p] * (tt * cs)
                 + [rk_g, ik_g])
     if init_g is not None:
         in_specs += [mom_spec]
@@ -1397,11 +1402,18 @@ def moments_pallas_t(
     ik: jnp.ndarray,    # (nta, CHUNK) k-th NN original idx per query
     init: typing.Optional[jnp.ndarray] = None,  # (nta*CHUNK, MOM_CH) seed
     interpret: bool = False,
+    cs: int = 2,
 ) -> jnp.ndarray:
-    """k-NN moment sums per query row: (Pa, MOM_CH), query-relative."""
+    """k-NN moment sums per query row: (Pa, MOM_CH), query-relative.
+
+    ``cs`` slots per grid step amortise the fixed per-step cost over the
+    mostly-clamped tail of the count-gated candidate table (see
+    refine_knn_pallas_t).
+    """
     nta, cap = cand.shape
     aux = ncand.astype(jnp.int32).reshape(nta)
-    borig_col = borig.reshape(-1, 1)
+    cand = _clamp_cand(cand, aux)
+    b8p = _pack_ids_col7(b8r, borig)
     init_kbuf = _rows_to_kbuf(init, MOM_CH) if init is not None else None
     tt = _TILES_PER_STEP
     budget_rows = max(tt, (393216 // (4 * cap)) // tt * tt)
@@ -1444,8 +1456,8 @@ def moments_pallas_t(
         mom = _moments_group_t(
             jax.lax.slice_in_dim(qt8, g0 * CHUNK, (g0 + use) * CHUNK,
                                  axis=1),
-            jnp.array([g0], jnp.int32), b8r, borig_col, cand_g, aux_g,
-            rk_g, ik_g, interpret, init_g,
+            jnp.array([g0], jnp.int32), b8p, cand_g, aux_g,
+            rk_g, ik_g, interpret, init_g, cs,
         )
         parts.append(mom[: gt * CHUNK])
     return jnp.concatenate(parts)

@@ -392,3 +392,36 @@ class TestKnnMoments:
         assert np.all(np.isfinite(nrm))
         norms = np.linalg.norm(nrm, axis=1)
         np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
+
+
+def test_knn_helix_sparse_chunks_matches_xla(monkeypatch):
+    """Counted k-NN on a line-structured cloud: later chunks contribute
+    only a few qualifying candidates per query (warm k-buffers, exact
+    integer ties) — the merge gate's sparse-contribution regime must stay
+    lex-exact vs the XLA extractor."""
+    from open_pcc_metric_tpu.ops.grid import build_grid_host
+    from open_pcc_metric_tpu.ops.knn_pruned import knn_pruned_sorted
+
+    monkeypatch.setenv("PCC_KNN_SCHED", "counted")
+    rng = np.random.default_rng(23)
+    n, p, k = 4000, 4096, 8
+    # Dense integer helix: Morton chunks become arc segments; a query's
+    # k-NN live almost entirely in its own chunk, adjacent chunks add
+    # 1-2 boundary candidates (ties included: integer coords).
+    t = np.arange(n) * 0.11
+    A = np.stack([np.round(40 * np.cos(t)) + 64,
+                  np.round(40 * np.sin(t)) + 64,
+                  np.round(t)], axis=1).astype(float)
+    A += rng.integers(0, 2, A.shape)  # integer jitter -> exact ties exist
+    ga = build_grid_host(A, p, dtype=jnp.float32)
+    dk, ik, ovf = knn_pruned_sorted(
+        ga, ga, jnp.asarray(n), k, cap=16, fallback_tiles=64,
+        refine_impl="pallas_interpret")
+    dk_x, ik_x, ovf_x = knn_pruned_sorted(
+        ga, ga, jnp.asarray(n), k, cap=16, fallback_tiles=64,
+        refine_impl="xla")
+    valid = np.arange(p) < n
+    np.testing.assert_array_equal(np.asarray(dk)[valid],
+                                  np.asarray(dk_x)[valid])
+    np.testing.assert_array_equal(np.asarray(ik)[valid],
+                                  np.asarray(ik_x)[valid])
