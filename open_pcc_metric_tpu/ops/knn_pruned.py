@@ -162,12 +162,12 @@ def knn_pruned_sorted(
             ub1_eff = ub1 * (1 + 8 * eps) + 8 * eps
             counts1 = jnp.sum(lb <= ub1_eff[:, None], axis=1)
             ncand2 = jnp.clip(counts1 - p1, 0, cap - p1).astype(jnp.int32)
-            # cs=2: the extension's slots are mostly clamped off (mean
-            # executed ~14 of 56 at cap=64/800k) and a clamped slot costs
-            # ~2.3 us of fixed per-grid-step overhead — batching slots
-            # per step halves it (measured 53 ms of pure clamped overhead
-            # per 800k cloud at cs=1; cs=4 overruns scoped VMEM).
-            ext_cs = int(_os.environ.get("PCC_KNN_CS", "2"))
+            # cs MUST stay 1 for k-NN refine passes: cs=2 duplicates the
+            # unrolled 30-round merge body per grid step and the register
+            # spill makes the extension 3.3x SLOWER (546 vs 166 ms at
+            # 800k). Only merge-free kernels (moments, 1-NN) win from
+            # slot batching.
+            ext_cs = int(_os.environ.get("PCC_KNN_CS", "1"))
             dk, ik = refine_knn_pallas_t(
                 qt8, b8r, gb.perm[None, :], cand[:, p1:], k,
                 ncand=ncand2,
@@ -252,7 +252,6 @@ def knn_pruned_sorted(
                 ncand=ncand, init=init,
                 exclude_self=False,
                 interpret=(impl == "pallas_interpret"),
-                cs=2 if ncand is not None else 1,
             )
             return (fd.reshape(nt_pad, CHUNK, k)[:nt],
                     fi.reshape(nt_pad, CHUNK, k)[:nt])
