@@ -551,78 +551,103 @@ _LADDER_MEMO: dict = {}
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "color_scheme", "point_to_plane", "d2_mode", "k",
+        "color_scheme", "point_to_plane", "d2_mode", "k", "est_a", "est_b",
         "knn_cap", "knn_ft", "prune_cap", "prune_fallback", "mxu_ok",
     ),
 )
 def cold_pair_program(
     a_pts, b_pts, n_a, n_b, a_col=None, b_col=None,
+    ga=None, gb=None, qt8_a=None, qt8_b=None,
+    a_nrm=None, a_nrm_s=None, b_nrm=None, b_nrm_s=None,
+    a_col_s=None, b_col_s=None, boundary_a=None,
     color_scheme=None, point_to_plane=True, d2_mode="reference",
+    est_a=True, est_b=True,
     k=30, knn_cap=64, knn_ft=256, prune_cap=32, prune_fallback=256,
     mxu_ok=False,
 ):
-    """ONE compiled program for a fully cold pair on normal-less clouds.
+    """ONE compiled program for a pair whose per-cloud state is (partly)
+    cold.
 
-    The stepwise estimation path costs ~7 dispatches per pair (2 grid
-    builds, 2 estimation programs, pair_stats, plus round-trips) at ~30 ms
+    The stepwise estimation path costs up to ~7 dispatches per pair (grid
+    builds, estimation programs, pair_stats, plus round-trips) at ~30 ms
     of tunnel latency each; this folds the reference's entire
     estimate-if-missing pipeline (reference cloud_pair.py:54-80) into one
     device program: Morton grids, 30-NN PCA normals + free boundary stats
-    for both clouds, and the pruned bidirectional metric sweeps.
+    for the cloud(s) that need them (``est_a``/``est_b``), and the pruned
+    bidirectional metric sweeps. Already-cached per-Cloud state (grids,
+    qt8 packs, normals, sorted colours, boundary stats) is passed in and
+    reused — a QP sweep's steady-state pair estimates only the degraded
+    cloud, still in one dispatch.
 
     Returns ``(stats, cacheables)`` where cacheables carries the per-Cloud
-    device state (grids, normals both orders, boundary) for the caller to
-    cache; ``stats['nn_overflow']`` ORs every certificate in the program —
-    on overflow the caller falls back to the stepwise escalating path.
+    device state for the caller to cache; ``stats['nn_overflow']`` ORs
+    every certificate in the program — on overflow the caller falls back
+    to the stepwise escalating path.
     """
     from .grid import build_grid
     from .normals import estimation_core
 
-    ga = build_grid(a_pts, n_a)
-    gb = build_grid(b_pts, n_b)
-    nrm_a, nrm_a_s, mn_a, mx_a, ov_a = estimation_core(
-        ga, n_a, k, knn_cap, knn_ft)
-    nrm_b, nrm_b_s, mn_b, mx_b, ov_b = estimation_core(
-        gb, n_b, k, knn_cap, knn_ft)
-    qt8_a = jnp.pad(ga.points, ((0, 0), (0, 5))).T
-    qt8_b = jnp.pad(gb.points, ((0, 0), (0, 5))).T
-    a_col_s = jnp.take(a_col, ga.perm, axis=0) if a_col is not None else None
-    b_col_s = jnp.take(b_col, gb.perm, axis=0) if b_col is not None else None
+    if ga is None:
+        ga = build_grid(a_pts, n_a)
+    if gb is None:
+        gb = build_grid(b_pts, n_b)
+    ov_est = jnp.asarray(False)
+    boundary_b = None
+    if est_a:
+        a_nrm, a_nrm_s, mn_a, mx_a, ov_a = estimation_core(
+            ga, n_a, k, knn_cap, knn_ft)
+        boundary_a = (mn_a, mx_a)
+        ov_est = ov_est | ov_a
+    if est_b:
+        b_nrm, b_nrm_s, mn_b, mx_b, ov_b = estimation_core(
+            gb, n_b, k, knn_cap, knn_ft)
+        boundary_b = (mn_b, mx_b)
+        ov_est = ov_est | ov_b
+    if qt8_a is None:
+        qt8_a = jnp.pad(ga.points, ((0, 0), (0, 5))).T
+    if qt8_b is None:
+        qt8_b = jnp.pad(gb.points, ((0, 0), (0, 5))).T
+    if a_col is not None and a_col_s is None:
+        a_col_s = jnp.take(a_col, ga.perm, axis=0)
+    if b_col is not None and b_col_s is None:
+        b_col_s = jnp.take(b_col, gb.perm, axis=0)
     stats = _pair_stats_pruned(
-        a_pts, b_pts, n_a, n_b, a_col, b_col, nrm_a, nrm_b, ga, gb,
-        a_col_s, b_col_s, nrm_a_s, nrm_b_s, qt8_a, qt8_b,
+        a_pts, b_pts, n_a, n_b, a_col, b_col, a_nrm, b_nrm, ga, gb,
+        a_col_s, b_col_s, a_nrm_s, b_nrm_s, qt8_a, qt8_b,
         color_scheme=color_scheme, point_to_plane=point_to_plane,
-        d2_mode=d2_mode, with_boundary=False,
+        d2_mode=d2_mode, with_boundary=boundary_a is None,
         prune_cap=prune_cap, prune_fallback=prune_fallback, mxu_ok=mxu_ok,
     )
     stats = dict(stats)
-    stats["self_min"], stats["self_max"] = mn_a, mx_a
-    stats["nn_overflow"] = stats["nn_overflow"] | ov_a | ov_b
+    if boundary_a is not None:
+        stats["self_min"], stats["self_max"] = boundary_a
+    stats["nn_overflow"] = stats["nn_overflow"] | ov_est
     cacheables = {
         "ga": ga, "gb": gb, "qt8_a": qt8_a, "qt8_b": qt8_b,
-        "nrm_a": nrm_a, "nrm_b": nrm_b,
-        "nrm_a_s": nrm_a_s, "nrm_b_s": nrm_b_s,
+        "nrm_a": a_nrm, "nrm_b": b_nrm,
+        "nrm_a_s": a_nrm_s, "nrm_b_s": b_nrm_s,
         "a_col_s": a_col_s, "b_col_s": b_col_s,
-        "boundary_a": (mn_a, mx_a), "boundary_b": (mn_b, mx_b),
+        "boundary_a": (stats["self_min"], stats["self_max"]),
+        "boundary_b": boundary_b,
     }
     return stats, cacheables
 
 
 def _cold_fold_applicable(a, b, point_to_plane, backend):
-    """The one-dispatch cold fold handles the common big-cloud case; every
-    corner (small clouds, file normals, warm caches, non-pruned backends)
-    keeps the stepwise path, whose behaviour is unchanged."""
+    """The one-dispatch fold handles the big-cloud pruned cases where at
+    least one cloud still needs normal estimation; every corner (small
+    clouds, warm or file normals everywhere, non-pruned backends) keeps
+    the stepwise path, whose behaviour is unchanged."""
     from .normals import DEFAULT_KNN, _PRUNE_THRESHOLD
+
+    def needs_est(c):
+        return (c.normals is None
+                and getattr(c, "_est_normals", None) is None)
 
     return (
         backend == "pruned"
         and point_to_plane
-        and a.normals is None and b.normals is None
-        and getattr(a, "_est_normals", None) is None
-        and getattr(b, "_est_normals", None) is None
-        and getattr(a, "_grid", None) is None
-        and getattr(b, "_grid", None) is None
-        and getattr(a, "_boundary_stats", None) is None
+        and (needs_est(a) or needs_est(b))
         and min(a.padded_size, b.padded_size) >= _PRUNE_THRESHOLD
         and min(int(a.n), int(b.n)) >= max(DEFAULT_KNN, 2)
         and a.points.dtype == b.points.dtype
@@ -631,13 +656,13 @@ def _cold_fold_applicable(a, b, point_to_plane, backend):
 
 def _fused_evaluate_cold(a, b, color_scheme, point_to_plane, d2_mode,
                          peak):
-    """fused_evaluate body for the fully-cold estimation case (one dispatch
-    + one host OBB overlapped). Returns None when the program overflows a
-    certificate (caller re-runs stepwise with escalation)."""
+    """fused_evaluate body for pairs needing in-program estimation (one
+    dispatch + one host OBB overlapped). Returns None when the program
+    overflows a certificate (caller re-runs stepwise with escalation)."""
     import os as _os
 
     obb_future = None
-    if peak is None:
+    if peak is None and getattr(a, "_obb_extent", None) is None:
         import concurrent.futures as _cf
 
         _pool = _cf.ThreadPoolExecutor(1)
@@ -648,38 +673,68 @@ def _fused_evaluate_cold(a, b, color_scheme, point_to_plane, d2_mode,
     from .normals import _LADDER_MEMO as _EST_MEMO
 
     base_cap = int(_os.environ.get("PCC_NN_CAP", "32"))
+    base_ft = int(_os.environ.get("PCC_NN_FT", "256"))
     memo_key = (a.padded_size, b.padded_size, str(a.points.dtype),
                 color_scheme, point_to_plane, d2_mode, "pruned")
-    cap, fallback = ladder_lookup(_LADDER_MEMO, memo_key, (base_cap, 256))
-    kcap_a, kft_a = ladder_lookup(_EST_MEMO, (a.padded_size, 30), (64, 256))
-    kcap_b, kft_b = ladder_lookup(_EST_MEMO, (b.padded_size, 30), (64, 256))
-    kcap, kft = max(kcap_a, kcap_b), max(kft_a, kft_b)
+    cap, fallback = ladder_lookup(_LADDER_MEMO, memo_key,
+                                  (base_cap, base_ft))
+
+    def nrm_state(c):
+        if c.normals is not None:
+            return c.normals, _sorted_normals(c, c.normals), False
+        est = getattr(c, "_est_normals", None)
+        if est is not None:
+            return est, getattr(c, "_sorted_normals", None), False
+        return None, None, True
+
+    a_nrm, a_nrm_s, est_a = nrm_state(a)
+    b_nrm, b_nrm_s, est_b = nrm_state(b)
+    kcap = kft = None
+    if est_a or est_b:
+        kcap_a, kft_a = ladder_lookup(
+            _EST_MEMO, (a.padded_size, 30), (64, 256))
+        kcap_b, kft_b = ladder_lookup(
+            _EST_MEMO, (b.padded_size, 30), (64, 256))
+        kcap, kft = max(kcap_a, kcap_b), max(kft_a, kft_b)
     stats, cache = cold_pair_program(
         a.points, b.points, jnp.asarray(a.n), jnp.asarray(b.n),
         a_col=a.colors, b_col=b.colors,
+        ga=getattr(a, "_grid", None), gb=getattr(b, "_grid", None),
+        qt8_a=getattr(a, "_qt8", None), qt8_b=getattr(b, "_qt8", None),
+        a_nrm=a_nrm, a_nrm_s=a_nrm_s, b_nrm=b_nrm, b_nrm_s=b_nrm_s,
+        a_col_s=getattr(a, "_sorted_colors", None),
+        b_col_s=getattr(b, "_sorted_colors", None),
+        boundary_a=getattr(a, "_boundary_stats", None),
         color_scheme=color_scheme, point_to_plane=point_to_plane,
-        d2_mode=d2_mode, knn_cap=kcap, knn_ft=kft,
+        d2_mode=d2_mode, est_a=est_a, est_b=est_b,
+        knn_cap=kcap or 64, knn_ft=kft or 256,
         prune_cap=cap, prune_fallback=fallback, mxu_ok=mxu_ok,
     )
     stats = jax.device_get(stats)  # one round-trip for scalars + overflow
     if bool(stats["nn_overflow"]):
         if obb_future is not None:
-            a._obb_extent = obb_future.result()
+            obb_future.result()  # let it finish caching before stepwise
         return None
     ladder_store(_LADDER_MEMO, memo_key, (cap, fallback))
-    ladder_store(_EST_MEMO, (a.padded_size, 30), (kcap, kft))
-    ladder_store(_EST_MEMO, (b.padded_size, 30), (kcap, kft))
+    if est_a or est_b:
+        ladder_store(_EST_MEMO, (a.padded_size, 30), (kcap, kft))
+        ladder_store(_EST_MEMO, (b.padded_size, 30), (kcap, kft))
     # Cache the device-side per-Cloud state exactly like the stepwise path.
     a._grid, b._grid = cache["ga"], cache["gb"]
     a._qt8, b._qt8 = cache["qt8_a"], cache["qt8_b"]
-    a._est_normals, b._est_normals = cache["nrm_a"], cache["nrm_b"]
-    a._sorted_normals = cache["nrm_a_s"]
-    b._sorted_normals = cache["nrm_b_s"]
+    if est_a:
+        a._est_normals = cache["nrm_a"]
+        a._sorted_normals = cache["nrm_a_s"]
+    if est_b:
+        b._est_normals = cache["nrm_b"]
+        b._sorted_normals = cache["nrm_b_s"]
     if cache["a_col_s"] is not None:
         a._sorted_colors = cache["a_col_s"]
         b._sorted_colors = cache["b_col_s"]
     a._boundary_stats = cache["boundary_a"]
-    b._boundary_stats = cache["boundary_b"]
+    if cache["boundary_b"] is not None \
+            and getattr(b, "_boundary_stats", None) is None:
+        b._boundary_stats = cache["boundary_b"]
     if peak is not None:
         extent_peak = float(peak)
     elif obb_future is not None:
@@ -769,7 +824,9 @@ def fused_evaluate(
     memo_key = (a.padded_size, b.padded_size, str(a.points.dtype),
                 color_scheme, point_to_plane, d2_mode, backend)
     base_cap = int(_os.environ.get("PCC_NN_CAP", "32"))
-    cap, fallback = ladder_lookup(_LADDER_MEMO, memo_key, (base_cap, 256))
+    base_ft = int(_os.environ.get("PCC_NN_FT", "256"))
+    cap, fallback = ladder_lookup(_LADDER_MEMO, memo_key,
+                                  (base_cap, base_ft))
     while True:
         stats = pair_stats(
             a.points,

@@ -623,28 +623,22 @@ def _nn_kernel_t(cand_ref, aux_ref, off_ref, qt_ref, *rest, exclude_self,
                     + (off_ref[0] + i * tt + t) * CHUNK
                 d = jnp.where(crow == qcol, jnp.inf, d)
             dmin = jnp.min(d, axis=0, keepdims=True)  # (1, CHUNK) lane-major
-            # Candidates arrive lb-ascending, so later chunks usually beat
-            # no query: gate the 3-pass tie-break extraction + update on
-            # any (dmin <= best) — non-strict, so an exact tie still runs
-            # the extraction and can lower the winning original index
-            # (bit-exact vs ungated; same gate as the straight-layout
-            # kernel).
+            # NOTE: do NOT gate the tie-break extraction behind pl.when —
+            # the (256,256) d tile then materialises across the region
+            # boundary and the ~0.6 us/visit of scratch traffic costs
+            # more than the 3 extraction passes it skips (measured probe
+            # 10.1 -> 16.8 ms at 800k with the gate).
+            at_min = d == dmin
+            bor = _ids_from_col7(b)  # (CHUNK, 1) original ids
+            ii = jnp.min(
+                jnp.where(at_min, jnp.broadcast_to(bor, d.shape), INT_MAX),
+                axis=0, keepdims=True,
+            )
             prev_d = bestd_ref[t : t + 1, :]
-            relevant = jnp.any(dmin <= prev_d)
-
-            @pl.when(relevant)
-            def _update(t=t, c=c, b=b, d=d, dmin=dmin, prev_d=prev_d):
-                at_min = d == dmin
-                bor = _ids_from_col7(b)  # (CHUNK, 1) original ids
-                ii = jnp.min(
-                    jnp.where(at_min, jnp.broadcast_to(bor, d.shape),
-                              INT_MAX),
-                    axis=0, keepdims=True,
-                )
-                prev_i = besti_ref[t : t + 1, :]
-                better = (dmin < prev_d) | ((dmin == prev_d) & (ii < prev_i))
-                bestd_ref[t : t + 1, :] = jnp.where(better, dmin, prev_d)
-                besti_ref[t : t + 1, :] = jnp.where(better, ii, prev_i)
+            prev_i = besti_ref[t : t + 1, :]
+            better = (dmin < prev_d) | ((dmin == prev_d) & (ii < prev_i))
+            bestd_ref[t : t + 1, :] = jnp.where(better, dmin, prev_d)
+            besti_ref[t : t + 1, :] = jnp.where(better, ii, prev_i)
 
         if has_ncand:
             pl.when(j * cs + c < aux_ref[i * tt + t])(_tile_slot)
@@ -872,7 +866,7 @@ def _knn_kernel_t(cand_ref, aux_ref, off_ref, qt_ref, *rest, k, exclude_self,
 
     q = qt_ref[:]  # (8, tt*CHUNK)
     for t, c in [(t_, c_) for t_ in range(tt) for c_ in range(cs)]:
-        def _tile_slot(t=t, c=c):
+        def _dist(t=t, c=c):
             b = b_refs[t * cs + c][:]  # (CHUNK, 8)
             d = None
             for kk in range(3):
@@ -889,7 +883,10 @@ def _knn_kernel_t(cand_ref, aux_ref, off_ref, qt_ref, *rest, k, exclude_self,
                     jnp.int32, (CHUNK, CHUNK), 1) \
                     + (off_ref[0] + i * tt + t) * CHUNK
                 d = jnp.where(crow == qcol, jnp.inf, d)
+            return b, d
 
+        def _tile_slot(t=t, c=c):
+            b, d = _dist(t, c)
             run_d = dk_ref[t * k : (t + 1) * k, :]  # (k, CHUNK)
             run_i = ik_ref[t * k : (t + 1) * k, :]
             # Tie-aware gate (see _knn_kernel): equality fires the merge
@@ -913,10 +910,20 @@ def _knn_kernel_t(cand_ref, aux_ref, off_ref, qt_ref, *rest, k, exclude_self,
             # the probe ~7% slower (157 -> 168 ms at 800k). The extension
             # is clamp-overhead-bound, not merge-bound (172 ms, flat).
             @pl.when(improves)
-            def _merge(t=t, c=c, d=d, run_d=run_d, run_i=run_i, bor0=bor0):
-                bor = jnp.broadcast_to(bor0, d.shape)
-                cand_d = jnp.concatenate([run_d, d], axis=0)  # (k+C, CHUNK)
-                cand_i = jnp.concatenate([run_i, bor], axis=0)
+            def _merge(t=t, c=c):
+                # Recompute d INSIDE the predicated region: a value used
+                # across a pl.when boundary is materialised to scratch
+                # (~0.6 us/visit of traffic for the (256,256) tile, paid
+                # by EVERY visit); recomputing costs ~0.3 us only on the
+                # ~half of visits that actually merge. Identical rounding:
+                # same inputs, same expression. The k-buffers re-read from
+                # their refs for the same reason.
+                b2, d = _dist(t, c)
+                bor = jnp.broadcast_to(_ids_from_col7(b2), d.shape)
+                cand_d = jnp.concatenate(
+                    [dk_ref[t * k : (t + 1) * k, :], d], axis=0)
+                cand_i = jnp.concatenate(
+                    [ik_ref[t * k : (t + 1) * k, :], bor], axis=0)
                 dcur = cand_d
                 for r in range(k):
                     m = jnp.min(dcur, axis=0, keepdims=True)  # (1, CHUNK)

@@ -128,3 +128,40 @@ def test_cold_fold_not_taken_with_file_normals(small_thresholds,
 
     monkeypatch.setattr(fused, "_fused_evaluate_cold", boom)
     fused.fused_evaluate(a, b, point_to_plane=True, backend="pruned")
+
+
+def test_partial_fold_sweep_shape(small_thresholds, monkeypatch):
+    """Sweep steady state: the reference cloud is fully cached, only the
+    degraded cloud estimates — still one program, values equal stepwise."""
+    a, b1 = _pair(seed=21)
+    # Warm the reference cloud's caches with a first pair.
+    fused.fused_evaluate(a, b1, color_scheme="ycc", point_to_plane=True,
+                         backend="pruned")
+    assert getattr(a, "_est_normals", None) is not None
+
+    _, b2 = _pair(seed=22)
+    calls = {"n": 0, "est": None}
+    orig = fused.cold_pair_program
+
+    def spy(*args, **kw):
+        calls["n"] += 1
+        calls["est"] = (kw.get("est_a"), kw.get("est_b"))
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(fused, "cold_pair_program", spy)
+    res_fold = fused.fused_evaluate(
+        a, b2, color_scheme="ycc", point_to_plane=True, backend="pruned")
+    assert calls["n"] == 1
+    assert calls["est"] == (False, True), calls["est"]
+    assert getattr(b2, "_est_normals", None) is not None
+
+    # Stepwise comparison on fresh clouds.
+    a2, _ = _pair(seed=21)
+    _, b3 = _pair(seed=22)
+    monkeypatch.setattr(fused, "_cold_fold_applicable",
+                        lambda *a_, **k_: False)
+    res_step = fused.fused_evaluate(
+        a2, b3, color_scheme="ycc", point_to_plane=True, backend="pruned")
+    for k in res_step:
+        np.testing.assert_allclose(res_fold[k], res_step[k], rtol=1e-6,
+                                   err_msg=k)
