@@ -94,6 +94,16 @@ def run_tpu(origin, reconst, with_normals=True):
             reconst[0], colors=reconst[1],
             normals=reconst[2] if include_normals else None,
             dtype=jnp.float32)
+        # Force the host->device transfers to complete NOW: construction is
+        # outside the timed region by design (the analogue of the
+        # reference's file parsing), but device_put is async and ~30 MB of
+        # uploads would otherwise ride the tunnel inside the first timed
+        # dispatch. np.asarray of one row is the only reliable sync under
+        # axon (block_until_ready may not block — see CLAUDE.md).
+        for c in (a, b):
+            for arr in (c.points, c.colors, c.normals):
+                if arr is not None:
+                    np.asarray(arr[:1])
         return a, b
 
     kwargs = dict(color_scheme="ycc", point_to_plane=True, d2_mode="pc_error")

@@ -691,10 +691,11 @@ def _fused_evaluate_cold(a, b, color_scheme, point_to_plane, d2_mode,
     b_nrm, b_nrm_s, est_b = nrm_state(b)
     kcap = kft = None
     if est_a or est_b:
-        kcap_a, kft_a = ladder_lookup(
-            _EST_MEMO, (a.padded_size, 30), (64, 256))
-        kcap_b, kft_b = ladder_lookup(
-            _EST_MEMO, (b.padded_size, 30), (64, 256))
+        from .normals import _knn_base_rung
+
+        base = _knn_base_rung()
+        kcap_a, kft_a = ladder_lookup(_EST_MEMO, (a.padded_size, 30), base)
+        kcap_b, kft_b = ladder_lookup(_EST_MEMO, (b.padded_size, 30), base)
         kcap, kft = max(kcap_a, kcap_b), max(kft_a, kft_b)
     stats, cache = cold_pair_program(
         a.points, b.points, jnp.asarray(a.n), jnp.asarray(b.n),

@@ -116,6 +116,14 @@ def estimate_normals(
 _LADDER_MEMO: dict = {}
 
 
+def _knn_base_rung():
+    """Starting (cap, fallback_tiles) for the estimation k-NN ladder."""
+    import os
+
+    return (int(os.environ.get("PCC_KNN_CAP", "64")),
+            int(os.environ.get("PCC_KNN_FT", "256")))
+
+
 def estimation_core(g, n, k, cap, ft):
     """Traceable estimation body over a prebuilt grid (one certificate rung).
 
@@ -171,7 +179,7 @@ def estimate_normals_cloud(cloud, k: int = DEFAULT_KNN) -> jnp.ndarray:
     ncb = g.n_chunks
     nta = p // CHUNK
     memo_key = (p, k)
-    cap, ft = ladder_lookup(_LADDER_MEMO, memo_key, (64, 256))
+    cap, ft = ladder_lookup(_LADDER_MEMO, memo_key, _knn_base_rung())
     while True:
         nrm, nrm_sorted, mn, mx, overflow = _estimation_jit(
             g, jnp.asarray(cloud.n), k, cap, ft)
