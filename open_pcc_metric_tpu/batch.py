@@ -154,6 +154,31 @@ def run_sweep(
                     pass  # unreadable now -> per-pair error later
         if biggest:
             pad_to = pad_bucket(biggest)
+    # One-item prefetch pipeline: while the device evaluates pair i, a
+    # side thread parses pair i+1's files and issues its host->device
+    # transfers (the loader + ~tens of MB of tunnel upload otherwise
+    # serialise with compute). Only the prefetch thread touches the cloud
+    # cache; the main thread consumes completed futures, so cache access
+    # never runs concurrently with a mutation.
+    import concurrent.futures as _cf
+
+    todo = [it for it in items if it.tag not in done]
+    todo_index = {it.tag: i for i, it in enumerate(todo)}
+    prefetcher = _cf.ThreadPoolExecutor(1)
+
+    def _fetch(item):
+        a = cache.get(item.ocloud, dtype, pad_to)
+        b = cache.get(item.pcloud, dtype, pad_to)
+        for c in (a, b):  # force the async uploads to complete
+            for arr in (c.points, c.colors, c.normals):
+                if arr is not None:
+                    np.asarray(arr[:1])
+        return a, b
+
+    futures = {}
+    if todo:
+        futures[todo[0].tag] = prefetcher.submit(_fetch, todo[0])
+
     results = []
     with open(journal_path, "a") as journal:
         for item in items:
@@ -165,8 +190,14 @@ def run_sweep(
                          "pcloud": item.pcloud, "ts": time.time()}
             try:
                 t0 = time.perf_counter()
-                a = cache.get(item.ocloud, dtype, pad_to)
-                b = cache.get(item.pcloud, dtype, pad_to)
+                fut = futures.pop(item.tag)
+                # Submit the NEXT prefetch before resolving this one, so a
+                # failed load still keeps the pipeline running.
+                pos = todo_index[item.tag]
+                if pos + 1 < len(todo):
+                    nxt = todo[pos + 1]
+                    futures[nxt.tag] = prefetcher.submit(_fetch, nxt)
+                a, b = fut.result()
                 metrics = fused_evaluate(
                     a, b, color_scheme=color_scheme,
                     point_to_plane=point_to_plane, d2_mode=d2_mode,
@@ -187,6 +218,7 @@ def run_sweep(
             journal.write(json.dumps(rec) + "\n")
             journal.flush()
             results.append(rec)
+    prefetcher.shutdown(wait=False)
     return results
 
 
