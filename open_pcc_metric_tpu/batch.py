@@ -190,13 +190,16 @@ def run_sweep(
                          "pcloud": item.pcloud, "ts": time.time()}
             try:
                 t0 = time.perf_counter()
-                fut = futures.pop(item.tag)
+                fut = futures.pop(item.tag, None)
+                if fut is None:  # self-heal a severed prefetch chain
+                    fut = prefetcher.submit(_fetch, item)
                 # Submit the NEXT prefetch before resolving this one, so a
                 # failed load still keeps the pipeline running.
                 pos = todo_index[item.tag]
                 if pos + 1 < len(todo):
                     nxt = todo[pos + 1]
-                    futures[nxt.tag] = prefetcher.submit(_fetch, nxt)
+                    if nxt.tag not in futures:
+                        futures[nxt.tag] = prefetcher.submit(_fetch, nxt)
                 a, b = fut.result()
                 metrics = fused_evaluate(
                     a, b, color_scheme=color_scheme,
