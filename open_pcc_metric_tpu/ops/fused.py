@@ -25,7 +25,7 @@ import numpy as np
 from . import nn as nn_ops
 from . import normals as normal_ops
 from .color import get_color_peak, transform_colors
-from ..utils.cache import ladder_lookup, ladder_store
+from ..utils.cache import ladder_lookup, ladder_store, next_rung
 
 
 def _masked_sum(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -524,8 +524,7 @@ def boundary_stats(cloud, backend: str = "auto"):
             # point the certificate cannot fail).
             if not bool(overflow) or cap >= n_chunks:
                 break
-            cap = min(cap * 4, n_chunks)
-            fallback = min(fallback * 4, n_chunks)
+            cap, fallback = next_rung(cap, fallback, n_chunks, n_chunks)
     else:
         _, d = nn_ops.nearest_neighbors(
             cloud.points, cloud.points, exclude_self=True, backend=backend,
@@ -867,8 +866,7 @@ def fused_evaluate(
         ):
             ladder_store(_LADDER_MEMO, memo_key, (cap, fallback))
             break
-        cap = min(cap * 4, max_chunks)
-        fallback = min(fallback * 4, max_chunks)
+        cap, fallback = next_rung(cap, fallback, max_chunks, max_chunks)
     stats = dict(stats)
     if with_boundary:
         a._boundary_stats = (stats["self_min"], stats["self_max"])

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from .grid import CHUNK, ChunkGrid, bbox_lower_bounds, build_grid
 from .nn_pruned import _pairwise_sq, _pick_batch
+from ..utils.cache import next_rung
 
 
 def _resolve_refine_impl(impl: str, dtype) -> str:
@@ -211,7 +212,9 @@ def knn_pruned_sorted(
     # ids. exclude_self=True keeps the XLA refine.
     ft = min(fallback_tiles, nta)
     cap2a = min(max(2 * cap, 128), ncb)
-    cap2b = min(max(8 * cap, 512), ncb)
+    # ncb//4 floor: see nn_pruned_sorted — giant clouds have tail tiles
+    # whose qualifying sets exceed any flat tier width.
+    cap2b = min(max(8 * cap, 512, ncb // 4), ncb)
     p = nta * CHUNK
     dk = dk.reshape(p, k)
     ik = ik.reshape(p, k).astype(jnp.int32)
@@ -483,5 +486,4 @@ def knn_pruned(
         if not bool(overflow) or cap >= ncb:
             _ESCALATION_MEMO[key] = (cap, fallback_tiles)
             return idx, d
-        cap = min(cap * 4, ncb)
-        fallback_tiles = min(fallback_tiles * 4, nta)
+        cap, fallback_tiles = next_rung(cap, fallback_tiles, ncb, nta)

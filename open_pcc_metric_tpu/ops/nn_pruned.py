@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from .grid import CHUNK, ChunkGrid, bbox_lower_bounds, build_grid
+from ..utils.cache import next_rung
 
 INT_MAX = jnp.iinfo(jnp.int32).max
 
@@ -437,7 +438,12 @@ def nn_pruned_sorted(
     # tile reproduces its result exactly.
     ft = min(fallback_tiles, nta)
     cap2a = min(max(4 * cap, 128), ncb)
-    cap2b = min(max(16 * cap, 512), ncb)
+    # Tier-B width scales with the search cloud: at 2M points (ncb=8192)
+    # a handful of wide-bbox tiles legitimately qualify >1300 chunks and a
+    # flat 512 ceiling forced the WHOLE ladder to escalate to cap=128
+    # (bench 13.8 -> 7.3 Mpts/s). The wider tier is count-gated + seeded,
+    # so its extra slots are clamped index-map no-ops for certified tiles.
+    cap2b = min(max(16 * cap, 512, ncb // 4), ncb)
     dmin = dmin.reshape(nta * CHUNK)
     gidx = gidx.reshape(nta * CHUNK).astype(jnp.int32)
     overflow = n_over > ft
@@ -631,8 +637,7 @@ def nn_pruned_with_grids(
         if not bool(overflow) or cap >= ncb:
             d, idx = unsort_nn_result(ga, gb, d_s, i_s)
             return idx, d
-        cap = min(cap * 4, ncb)
-        fallback_tiles = min(fallback_tiles * 4, nta)
+        cap, fallback_tiles = next_rung(cap, fallback_tiles, ncb, nta)
 
 
 _ESCALATION_MEMO: dict = {}
@@ -667,8 +672,7 @@ def nn_pruned(
         if not bool(overflow) or cap >= ncb:
             _ESCALATION_MEMO[key] = (cap, fallback_tiles)
             return idx, d
-        cap = min(cap * 4, ncb)
-        fallback_tiles = min(fallback_tiles * 4, nta)
+        cap, fallback_tiles = next_rung(cap, fallback_tiles, ncb, nta)
 
 
 @functools.partial(

@@ -20,7 +20,7 @@ from .knn import knn
 from .eigh3 import (
     smallest_eigenvector_components, smallest_eigenvector_sym3,
 )
-from ..utils.cache import ladder_lookup, ladder_store
+from ..utils.cache import ladder_lookup, ladder_store, next_rung
 
 DEFAULT_KNN = 30
 
@@ -187,8 +187,7 @@ def estimate_normals_cloud(cloud, k: int = DEFAULT_KNN) -> jnp.ndarray:
         if not bool(overflow) or cap >= ncb:
             ladder_store(_LADDER_MEMO, memo_key, (cap, ft))
             break
-        cap = min(cap * 4, ncb)
-        ft = min(ft * 4, nta)
+        cap, ft = next_rung(cap, ft, ncb, nta)
     # Shared work (VERDICT r2 item 2): boundary stats come free from the
     # estimation pass; the sorted normals feed the pruned pair_stats
     # payload without another per-cloud gather. Cache both per Cloud.

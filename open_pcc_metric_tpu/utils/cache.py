@@ -33,6 +33,21 @@ def ladder_lookup(memo: dict, key, base, retry: int = 64):
     return rung
 
 
+def next_rung(cap: int, ft: int, max_cap: int, max_ft: int):
+    """Budget-first certificate escalation.
+
+    Widening the fallback-tile budget (ft) is cheap — the tier passes are
+    count-gated and seeded, so certified tiles' extra slots are clamped
+    index-map no-ops — while widening the stage-1 cap multiplies the whole
+    refinement. Dense giant clouds (2M bench, b->a direction) fail the
+    certificate with 400+ over-cap tiles whose tier widths would certify
+    fine: escalate ft x4 first, and only then cap x4.
+    """
+    if ft < max_ft:
+        return cap, min(ft * 4, max_ft)
+    return min(cap * 4, max_cap), ft
+
+
 def ladder_store(memo: dict, key, rung) -> None:
     """Record the rung that certified; count repeat uses for ladder_lookup."""
     ent = memo.get(key)
