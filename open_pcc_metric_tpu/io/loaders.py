@@ -113,6 +113,25 @@ def _read_ply(path: str) -> RawCloud:
     has_list = any(p[0] == "__list__" for p in props)
     scalar_props = [p for p in props if p[0] != "__list__"]
 
+    if fmt != "ascii" and vtx_i == 0 and not has_list:
+        # Bounded fast path (the overwhelmingly common layout): vertex is
+        # the first element with scalar props only, so read EXACTLY its
+        # bytes — a mesh PLY's face data after the vertices (often larger
+        # than the vertices themselves) is never pulled into memory.
+        endian = "<" if fmt == "binary_little_endian" else ">"
+        np_dtype = np.dtype(
+            [(name, endian + _PLY_DTYPES[t]) for name, t in props])
+        need = np_dtype.itemsize * count
+        with open(path, "rb") as f:
+            f.seek(body_offset)
+            blob = f.read(need)
+        if len(blob) < need:
+            raise ValueError(f"{path}: truncated PLY body")
+        data = np.frombuffer(blob, dtype=np_dtype, count=count)
+        names = [p[0] for p in scalar_props]
+        types = {p[0]: p[1] for p in scalar_props}
+        return _assemble_ply_cloud(path, data, names, types)
+
     with open(path, "rb") as f:
         f.seek(body_offset)
         blob = f.read()
@@ -149,6 +168,11 @@ def _read_ply(path: str) -> RawCloud:
 
     names = [p[0] for p in scalar_props]
     types = {p[0]: p[1] for p in scalar_props}
+    return _assemble_ply_cloud(path, data, names, types)
+
+
+def _assemble_ply_cloud(path, data, names, types) -> RawCloud:
+    """Columns -> RawCloud with the reference's colour conventions."""
 
     def col(name):
         return np.asarray(data[name], dtype=np.float64)
@@ -457,8 +481,15 @@ def _read_pts(path: str) -> RawCloud:
         colors = mat[:, 4:7]
     elif mat.shape[1] == 6:  # x y z r g b
         colors = mat[:, 3:6]
-    if colors is not None and colors.max() > 1.0:
-        colors = colors / 255.0
+    # .pts colours are documented as 0-255 integers; an all-integral
+    # channel set normalises even when every value happens to be <= 1
+    # (near-black scans would otherwise decode 255x brighter than an
+    # identical file with one brighter pixel).
+    if colors is not None and (
+        colors.max() > 1.0
+        or (np.array_equal(colors, np.round(colors)) and colors.max() >= 0)
+    ):
+        colors = np.clip(colors / 255.0, 0.0, 1.0)
     return RawCloud(points=points, colors=colors, normals=None)
 
 

@@ -606,10 +606,11 @@ def cold_pair_program(
         qt8_a = jnp.pad(ga.points, ((0, 0), (0, 5))).T
     if qt8_b is None:
         qt8_b = jnp.pad(gb.points, ((0, 0), (0, 5))).T
-    if a_col is not None and a_col_s is None:
-        a_col_s = jnp.take(a_col, ga.perm, axis=0)
-    if b_col is not None and b_col_s is None:
-        b_col_s = jnp.take(b_col, gb.perm, axis=0)
+    if color_scheme is not None:  # geometry-only pairs never read colours
+        if a_col is not None and a_col_s is None:
+            a_col_s = jnp.take(a_col, ga.perm, axis=0)
+        if b_col is not None and b_col_s is None:
+            b_col_s = jnp.take(b_col, gb.perm, axis=0)
     stats = _pair_stats_pruned(
         a_pts, b_pts, n_a, n_b, a_col, b_col, a_nrm, b_nrm, ga, gb,
         a_col_s, b_col_s, a_nrm_s, b_nrm_s, qt8_a, qt8_b,
@@ -630,6 +631,22 @@ def cold_pair_program(
         "boundary_b": boundary_b,
     }
     return stats, cacheables
+
+
+def _prefetch_obb(a, peak):
+    """Start the host-side OBB peak on a thread, overlapped with the
+    device passes (qhull over the origin cloud, ~0.35 s at 800k, no device
+    dependency). Skipped when a user peak (pc_error --resolution) makes it
+    irrelevant or the extent is already cached; returns a future or None.
+    """
+    if peak is not None or getattr(a, "_obb_extent", None) is not None:
+        return None
+    import concurrent.futures as _cf
+
+    _pool = _cf.ThreadPoolExecutor(1)
+    fut = _pool.submit(a.get_obb_extent)
+    _pool.shutdown(wait=False)
+    return fut
 
 
 def _cold_fold_applicable(a, b, point_to_plane, backend):
@@ -660,13 +677,7 @@ def _fused_evaluate_cold(a, b, color_scheme, point_to_plane, d2_mode,
     overflows a certificate (caller re-runs stepwise with escalation)."""
     import os as _os
 
-    obb_future = None
-    if peak is None and getattr(a, "_obb_extent", None) is None:
-        import concurrent.futures as _cf
-
-        _pool = _cf.ThreadPoolExecutor(1)
-        obb_future = _pool.submit(a.get_obb_extent)
-        _pool.shutdown(wait=False)
+    obb_future = _prefetch_obb(a, peak)
     mxu_ok = (a.points.dtype == jnp.float32
               and a.mxu_exact() and b.mxu_exact())
     from .normals import _LADDER_MEMO as _EST_MEMO
@@ -717,8 +728,15 @@ def _fused_evaluate_cold(a, b, color_scheme, point_to_plane, d2_mode,
         return None
     ladder_store(_LADDER_MEMO, memo_key, (cap, fallback))
     if est_a or est_b:
-        ladder_store(_EST_MEMO, (a.padded_size, 30), (kcap, kft))
-        ladder_store(_EST_MEMO, (b.padded_size, 30), (kcap, kft))
+        # Store the certified rung only under the shape that DEMANDED it:
+        # the program runs both estimations at max(rung_a, rung_b), but
+        # pinning the cheaper shape at the other's expensive rung would
+        # slow every later same-shaped cloud (and resetting its retry
+        # clock each pair would defer the base retry forever).
+        if est_a and (kcap_a, kft_a) == (kcap, kft):
+            ladder_store(_EST_MEMO, (a.padded_size, 30), (kcap, kft))
+        if est_b and (kcap_b, kft_b) == (kcap, kft):
+            ladder_store(_EST_MEMO, (b.padded_size, 30), (kcap, kft))
     # Cache the device-side per-Cloud state exactly like the stepwise path.
     a._grid, b._grid = cache["ga"], cache["gb"]
     a._qt8, b._qt8 = cache["qt8_a"], cache["qt8_b"]
@@ -769,17 +787,7 @@ def fused_evaluate(
             return out
         # A certificate overflowed inside the one-dispatch program: the
         # stepwise path below re-runs with per-stage escalation ladders.
-    # The OBB peak is host-side work (qhull over the origin cloud, ~0.35 s
-    # at 800k) with no device dependency: overlap it with the device passes
-    # below instead of serialising after them. Only needed when no user
-    # peak overrides it (pc_error --resolution) and not already cached.
-    obb_future = None
-    if peak is None and getattr(a, "_obb_extent", None) is None:
-        import concurrent.futures as _cf
-
-        _pool = _cf.ThreadPoolExecutor(1)
-        obb_future = _pool.submit(a.get_obb_extent)
-        _pool.shutdown(wait=False)
+    obb_future = _prefetch_obb(a, peak)
     a_nrm, b_nrm = a.normals, b.normals
     if point_to_plane:
         # Cloud-level cache: estimated normals depend only on the cloud.

@@ -426,7 +426,10 @@ def knn_pruned_sorted(
              diffs[:, :, 0] * diffs[:, :, 2],
              diffs[:, :, 1] * diffs[:, :, 2]], axis=2)
         s2 = jnp.sum(sq, axis=1)
-        mom = jnp.concatenate([cnt, s1, s2], axis=1).astype(jnp.float32)
+        # Keep the cloud dtype: f64 estimation must not silently lose
+        # ~8 digits through an f32 moments epilogue (the pallas path is
+        # f32-only by construction and never reaches here for f64).
+        mom = jnp.concatenate([cnt, s1, s2], axis=1).astype(dtype)
 
     return dk, ik, overflow, mom
 

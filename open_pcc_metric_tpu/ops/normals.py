@@ -194,6 +194,9 @@ def estimate_normals_cloud(cloud, k: int = DEFAULT_KNN) -> jnp.ndarray:
     if k >= 2 and int(cloud.n) >= 2 \
             and getattr(cloud, "_boundary_stats", None) is None:
         cloud._boundary_stats = (mn, mx)
-    if getattr(cloud, "_sorted_normals", None) is None:
+    # The sorted-normals cache is consumed by paths that assume default-k
+    # normals (pair_stats payloads); custom-k estimations must not poison
+    # it with a mismatched variant.
+    if k == DEFAULT_KNN and getattr(cloud, "_sorted_normals", None) is None:
         cloud._sorted_normals = nrm_sorted
     return nrm

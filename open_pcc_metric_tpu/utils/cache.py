@@ -29,6 +29,11 @@ def ladder_lookup(memo: dict, key, base, retry: int = 64):
         return base
     rung, uses = ent
     if rung != base and uses >= retry:
+        # Restart the clock NOW: if the base retry fails and the caller
+        # re-climbs to the same rung, ladder_store must not immediately
+        # re-trigger another base retry (that would re-run the failing
+        # base on every subsequent evaluation).
+        memo[key] = (rung, 0)
         return base
     return rung
 

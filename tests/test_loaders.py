@@ -199,3 +199,14 @@ def test_faces_after_vertex_still_ignored(tmp_path):
     ]) + body.encode())
     raw = read_point_cloud(p)
     np.testing.assert_allclose(raw.points, PTS0)
+
+
+def test_pts_integral_dark_colors_normalised(tmp_path):
+    """All-integral .pts colours normalise by 255 even when every value is
+    <= 1 (near-black scan): the format's documented colour range wins over
+    a value-based guess."""
+    p = tmp_path / "dark.pts"
+    p.write_text("2\n0 0 0 128 1 1 0\n1 0 0 128 0 1 1\n")
+    raw = read_point_cloud(str(p))
+    assert raw.colors is not None
+    np.testing.assert_allclose(raw.colors.max(), 1.0 / 255.0)
