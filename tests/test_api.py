@@ -249,9 +249,30 @@ def test_ladder_memo_retries_base_rung():
         uses += 1
         assert uses < 10
     assert uses == 4  # base retried after exactly `retry` repeat uses
+    # A FAILED base retry (caller re-climbs and stores the same hot rung)
+    # must restart the clock — not re-trigger a base retry every use.
+    ladder_store(memo, "k", hot)
+    for _ in range(3):
+        assert ladder_lookup(memo, "k", base, retry=4) == hot
+        ladder_store(memo, "k", hot)
     # A successful base run resets the memo to the cheap rung for good.
     ladder_store(memo, "k", base)
     assert ladder_lookup(memo, "k", base, retry=4) == base
+
+
+def test_next_rung_budget_first():
+    """Certificate escalation widens the tile budget before the cap."""
+    from open_pcc_metric_tpu.utils.cache import next_rung
+
+    seq = [(32, 256)]
+    while seq[-1] != (512, 1024):
+        cap, ft = next_rung(*seq[-1], max_cap=512, max_ft=1024)
+        assert (cap, ft) != seq[-1], "escalation must always progress"
+        seq.append((cap, ft))
+        assert len(seq) < 10
+    assert seq[1] == (32, 1024)   # budget first
+    assert seq[2] == (128, 1024)  # then cap
+    assert seq[3] == (512, 1024)
 
 
 def test_cloud_get_normals_cached_and_file_preferred():
