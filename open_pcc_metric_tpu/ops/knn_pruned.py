@@ -456,6 +456,9 @@ def _knn_pruned_jit(a_points, b_points, n_a, n_b, k, exclude_self, cap,
 
 # Remembers the (cap, fallback_tiles) level that worked per problem shape so
 # repeated calls skip the cheaper-but-overflowing levels entirely.
+# Rungs go through utils.cache.ladder_lookup/ladder_store so one
+# pathological pair cannot pin the expensive rung forever (periodic
+# base-rung retry), matching normals.py / fused.py.
 _ESCALATION_MEMO: dict = {}
 
 
@@ -476,7 +479,10 @@ def knn_pruned(
     nta = a_points.shape[0] // CHUNK
     ncb = b_points.shape[0] // CHUNK
     key = (a_points.shape[0], b_points.shape[0], k, exclude_self)
-    cap, fallback_tiles = _ESCALATION_MEMO.get(key, (cap, fallback_tiles))
+    from ..utils.cache import ladder_lookup, ladder_store
+
+    cap, fallback_tiles = ladder_lookup(
+        _ESCALATION_MEMO, key, (cap, fallback_tiles))
     while True:
         idx, d, overflow = _knn_pruned_jit(
             a_points, b_points, jnp.asarray(n_a), jnp.asarray(n_b), k,
@@ -487,6 +493,7 @@ def knn_pruned(
         # A full fallback budget alone does NOT imply exactness — stage 2
         # still refines only cap2 < ncb chunks per tile.
         if not bool(overflow) or cap >= ncb:
-            _ESCALATION_MEMO[key] = (cap, fallback_tiles)
+            ladder_store(_ESCALATION_MEMO, key,
+                         (cap, fallback_tiles))
             return idx, d
         cap, fallback_tiles = next_rung(cap, fallback_tiles, ncb, nta)

@@ -501,7 +501,7 @@ def nn_pruned_sorted(
                 exclude_self=False,
                 interpret=(impl == "pallas_interpret"),
                 expanded=use_expanded,
-                cs=2 if ncand is not None else None,
+                cs=2,  # tier calls are always count-gated
             )
             return (fd.reshape(nt_pad, CHUNK)[:nt],
                     fi.reshape(nt_pad, CHUNK)[:nt])
@@ -640,6 +640,9 @@ def nn_pruned_with_grids(
         cap, fallback_tiles = next_rung(cap, fallback_tiles, ncb, nta)
 
 
+# Rungs go through utils.cache.ladder_lookup/ladder_store so one
+# pathological pair cannot pin the expensive rung forever (periodic
+# base-rung retry), matching normals.py / fused.py.
 _ESCALATION_MEMO: dict = {}
 
 
@@ -663,14 +666,18 @@ def nn_pruned(
     nta = a_points.shape[0] // CHUNK
     ncb = b_points.shape[0] // CHUNK
     key = (a_points.shape[0], b_points.shape[0], exclude_self)
-    cap, fallback_tiles = _ESCALATION_MEMO.get(key, (cap, fallback_tiles))
+    from ..utils.cache import ladder_lookup, ladder_store
+
+    cap, fallback_tiles = ladder_lookup(
+        _ESCALATION_MEMO, key, (cap, fallback_tiles))
     while True:
         idx, d, overflow = _nn_pruned_jit(
             a_points, b_points, jnp.asarray(n_a), jnp.asarray(n_b),
             exclude_self, cap, fallback_tiles=fallback_tiles,
         )
         if not bool(overflow) or cap >= ncb:
-            _ESCALATION_MEMO[key] = (cap, fallback_tiles)
+            ladder_store(_ESCALATION_MEMO, key,
+                         (cap, fallback_tiles))
             return idx, d
         cap, fallback_tiles = next_rung(cap, fallback_tiles, ncb, nta)
 
