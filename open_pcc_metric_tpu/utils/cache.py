@@ -46,13 +46,15 @@ def next_rung(cap: int, ft: int, max_cap: int, max_ft: int):
     index-map no-ops — while widening the stage-1 cap multiplies the whole
     refinement. Dense giant clouds (2M bench, b->a direction) fail the
     certificate with 400+ over-cap tiles whose tier widths would certify
-    fine: escalate ft straight to its max first (ONE extra rung even when
-    the overflow is width-caused and only a cap bump can fix it — each
-    rung is a fresh static shape, i.e. a fresh remote compile), and only
-    then grow cap x4.
+    fine: escalate ft x4 first, and only then cap x4. (A jump-to-max-ft
+    variant was considered to bound rung waste when the overflow is
+    width-caused — which ft cannot fix — but it lands the COMMON dense-2M
+    case on ft=nta, whose all-tile gather + clamped tier steps cost more
+    than the graduated rung; x4 wastes at most ~3 one-time-per-shape
+    evaluations in the rare width-failure case, each memoised away.)
     """
     if ft < max_ft:
-        return cap, max_ft
+        return cap, min(ft * 4, max_ft)
     return min(cap * 4, max_cap), ft
 
 
