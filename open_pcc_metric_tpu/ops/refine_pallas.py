@@ -1398,7 +1398,7 @@ def _moments_group_t(qt8_g, tbase, b8p, cand_g, aux_g, rk_g,
             .reshape(gt * CHUNK, MOM_CH))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "cs"))
 def moments_pallas_t(
     qt8: jnp.ndarray,   # (8, Pa) transposed queries, padded to 8-tile groups
     b8r: jnp.ndarray,   # (Pb, 8) natural padded candidate layout
