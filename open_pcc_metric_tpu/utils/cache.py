@@ -74,9 +74,19 @@ def enable_compile_cache(
 
     Defaults to ``$JAX_COMPILATION_CACHE_DIR`` or ``<repo>/.jax_cache``.
     Safe to call repeatedly; returns the directory in effect.
+
+    CPU backends are excluded: XLA:CPU AOT executables bake in the compile
+    host's machine features, and loading an entry produced on a different
+    host warns "could lead to execution errors such as SIGILL" — observed
+    as a real mid-suite SEGFAULT when the test run (forced-CPU) loaded
+    cache entries written on an earlier host. CPU compiles are seconds
+    anyway; only the tunnelled remote TPU compiles (minutes) need the
+    cache.
     """
     import jax
 
+    if jax.default_backend() == "cpu":
+        return ""
     if directory is None:
         directory = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(
