@@ -143,7 +143,10 @@ def run_cpu_baseline(origin, reconst):
     dself, _ = tree0.query(pts0, k=2, workers=-1)
     boundary = dself[:, 1]
 
-    extent = minimal_obb_extent(pts0)
+    # device=False: the CPU baseline must stay off the accelerator (and
+    # off the remote-compile path — a cold compile once inflated this
+    # "CPU" measurement by ~200 s).
+    extent = minimal_obb_extent(pts0, device=False)
     peak = extent.max()
     mse_l, mse_r = (d0**2).mean(), (d1**2).mean()
     _ = 10 * np.log10(peak**2 / np.array([mse_l, mse_r]))

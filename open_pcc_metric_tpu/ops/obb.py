@@ -56,8 +56,13 @@ def _frame_extents(frames_flat: jnp.ndarray, verts: jnp.ndarray, chunk: int = 20
     return mx.reshape(r), mn.reshape(r)
 
 
-def minimal_obb_extent(points: np.ndarray) -> np.ndarray:
-    """Extent (3 side lengths, unsorted frame order) of the approx-minimal OBB."""
+def minimal_obb_extent(points: np.ndarray, device: bool = True) -> np.ndarray:
+    """Extent (3 side lengths, unsorted frame order) of the approx-minimal OBB.
+
+    ``device=False`` keeps the O(T x V) projection sweep in numpy — for
+    callers that must not touch the accelerator (the bench's CPU-baseline
+    measurement; also avoids a cold remote compile in one-shot scripts).
+    """
     points = np.asarray(points, dtype=np.float64).reshape(-1, 3)
     if points.shape[0] < 4:
         return points.max(axis=0) - points.min(axis=0)
@@ -88,17 +93,22 @@ def minimal_obb_extent(points: np.ndarray) -> np.ndarray:
     frames = np.stack([u, v, w], axis=1)  # (T, 3, 3): rows are the new axes
     t = frames.shape[0]
 
-    chunk = 2048
-    rpad = max(_bucket(3 * t), chunk)
-    flat = np.zeros((rpad, 3))
-    flat[: 3 * t] = frames.reshape(3 * t, 3)
-    vpad = _bucket(verts.shape[0])
-    # Pad by repeating a REAL vertex: leaves every max/min unchanged.
-    vbuf = np.broadcast_to(verts[0], (vpad, 3)).copy()
-    vbuf[: verts.shape[0]] = verts
+    if device:
+        chunk = 2048
+        rpad = max(_bucket(3 * t), chunk)
+        flat = np.zeros((rpad, 3))
+        flat[: 3 * t] = frames.reshape(3 * t, 3)
+        vpad = _bucket(verts.shape[0])
+        # Pad by repeating a REAL vertex: leaves every max/min unchanged.
+        vbuf = np.broadcast_to(verts[0], (vpad, 3)).copy()
+        vbuf[: verts.shape[0]] = verts
 
-    mx, mn = _frame_extents(jnp.asarray(flat), jnp.asarray(vbuf), chunk=chunk)
-    ext = (np.asarray(mx) - np.asarray(mn))[: 3 * t].reshape(t, 3)
+        mx, mn = _frame_extents(jnp.asarray(flat), jnp.asarray(vbuf),
+                                chunk=chunk)
+        ext = (np.asarray(mx) - np.asarray(mn))[: 3 * t].reshape(t, 3)
+    else:
+        proj_all = frames.reshape(3 * t, 3) @ verts.T  # (3T, V) numpy
+        ext = (proj_all.max(axis=1) - proj_all.min(axis=1)).reshape(t, 3)
 
     vol = np.where(good, ext.prod(axis=1), np.inf)
     best = int(np.argmin(vol))
