@@ -257,3 +257,16 @@ def test_pad_bucket():
 def test_pad_bucket_pow2_policy():
     assert pad_bucket(300_000, policy="pow2") == 1 << 19
     assert pad_bucket(100, policy="pow2") == 256
+
+
+def test_obb_numpy_mode_matches_device_mode():
+    """minimal_obb_extent(device=False) — the accelerator-free path used by
+    the bench's CPU baseline — picks the same frame and extent as the
+    device projection sweep (up to f32-vs-f64 sweep rounding, which only
+    affects WHICH near-tied frame wins; the winning extent is recomputed
+    in f64 either way)."""
+    rng = np.random.default_rng(17)
+    pts = rng.normal(size=(4000, 3)) * [4.0, 2.0, 1.0] + 10.0
+    e_dev = minimal_obb_extent(pts, device=True)
+    e_np = minimal_obb_extent(pts, device=False)
+    np.testing.assert_allclose(sorted(e_np), sorted(e_dev), rtol=1e-5)
