@@ -372,6 +372,101 @@ _PCD_TYPE = {("F", 4): "f4", ("F", 8): "f8",
              ("U", 1): "u1", ("U", 2): "u2", ("U", 4): "u4"}
 
 
+def _lzf_decompress(data: bytes, expected: int) -> bytes:
+    """Decompress a liblzf stream (PCD ``binary_compressed`` bodies).
+
+    The stream is a sequence of control bytes: ctrl < 32 starts a literal
+    run of ctrl+1 bytes; otherwise the top 3 bits are a match length
+    (7 ⇒ one extension byte follows) and the remaining 13 bits (5 high +
+    next byte) encode the back-reference distance − 1. Matches may
+    overlap their own output (run-length-style), handled by pattern
+    replication. Parity surface: ``o3d.io.read_point_cloud`` reads these
+    files via PCL's liblzf (reference handler.py:57).
+    """
+    out = bytearray(expected)
+    i, o, n = 0, 0, len(data)
+    try:
+        while i < n:
+            ctrl = data[i]
+            i += 1
+            if ctrl < 32:  # literal run of ctrl+1 bytes
+                run = ctrl + 1
+                if i + run > n or o + run > expected:
+                    raise ValueError("literal run overflows")
+                out[o:o + run] = data[i:i + run]
+                i += run
+                o += run
+            else:  # back-reference
+                length = ctrl >> 5
+                if length == 7:
+                    length += data[i]
+                    i += 1
+                length += 2
+                ref = o - (((ctrl & 0x1F) << 8) | data[i]) - 1
+                i += 1
+                if ref < 0 or o + length > expected:
+                    raise ValueError("back-reference out of range")
+                if ref + length <= o:
+                    out[o:o + length] = out[ref:ref + length]
+                else:  # overlapping: replicate the available pattern
+                    span = o - ref
+                    reps = -(-length // span)
+                    out[o:o + length] = (bytes(out[ref:o]) * reps)[:length]
+                o += length
+    except IndexError as e:  # ran off the end of `data`
+        raise ValueError("truncated LZF stream") from e
+    if o != expected:
+        raise ValueError(
+            f"LZF stream produced {o} bytes, header declared {expected}")
+    return bytes(out)
+
+
+def _lzf_compress(data: bytes) -> bytes:
+    """Greedy liblzf-format compressor (used by ``write_pcd`` and tests).
+
+    Emits literal runs (≤32) and back-references (length ≤ 264,
+    distance ≤ 8192) — the exact stream grammar `_lzf_decompress`
+    accepts, and PCL's decompressor too.
+    """
+    n = len(data)
+    out = bytearray()
+    htab: dict = {}
+    lit_start = 0
+    i = 0
+
+    def flush(end: int, start: int) -> None:
+        while start < end:
+            run = min(32, end - start)
+            out.append(run - 1)
+            out.extend(data[start:start + run])
+            start += run
+
+    while i + 2 < n:
+        key = bytes(data[i:i + 3])
+        ref = htab.get(key, -1)
+        htab[key] = i
+        dist = i - ref - 1
+        if ref >= 0 and dist < 8192:
+            maxlen = min(n - i, 264)
+            length = 3
+            while length < maxlen and data[ref + length] == data[i + length]:
+                length += 1
+            flush(i, lit_start)
+            enc = length - 2
+            if enc < 7:
+                out.append((enc << 5) | (dist >> 8))
+            else:
+                out.append((7 << 5) | (dist >> 8))
+                out.append(enc - 7)
+            out.append(dist & 0xFF)
+            i += length
+            lit_start = i
+        else:
+            i += 1
+    flush(n, lit_start)
+    return bytes(out)
+
+
 def _read_pcd(path: str) -> RawCloud:
     header: dict = {}
     with open(path, "rb") as f:
@@ -404,13 +499,40 @@ def _read_pcd(path: str) -> RawCloud:
     if mode == "binary":
         dtype = np.dtype(cols)
         data = np.frombuffer(body, dtype=dtype, count=npts)
+    elif mode == "binary_compressed":
+        # PCL layout: u32 compressed size, u32 uncompressed size, then an
+        # LZF stream of the data in field-major (SOA) order — each field's
+        # npts×(size·count) bytes contiguous.
+        import struct
+
+        if len(body) < 8:
+            raise ValueError(f"{path}: truncated binary_compressed PCD")
+        comp_size, uncomp_size = struct.unpack("<II", body[:8])
+        if len(body) < 8 + comp_size:
+            raise ValueError(f"{path}: binary_compressed body shorter than "
+                             "its declared compressed size")
+        raw = _lzf_decompress(body[8:8 + comp_size], uncomp_size)
+        data = {}
+        off = 0
+        ci = 0
+        for name, size, typ, cnt in zip(fields, sizes, types, counts):
+            block = np.frombuffer(
+                raw, dtype="<" + _PCD_TYPE[(typ, size)],
+                count=npts * cnt, offset=off)
+            off += size * cnt * npts
+            if cnt == 1:
+                data[cols[ci][0]] = block
+            else:
+                block = block.reshape(npts, cnt)
+                for k in range(cnt):
+                    data[cols[ci + k][0]] = block[:, k]
+            ci += cnt
     elif mode == "ascii":
         rows = np.loadtxt(body.decode("ascii").splitlines(), dtype=np.float64,
                           max_rows=npts, ndmin=2)
         data = {name: rows[:, i] for i, (name, _) in enumerate(cols)}
     else:
-        raise ValueError(f"{path}: PCD DATA mode {mode!r} unsupported "
-                         "(binary_compressed not implemented)")
+        raise ValueError(f"{path}: PCD DATA mode {mode!r} unsupported")
 
     def col(name, dtype=np.float64):
         return np.asarray(data[name], dtype=dtype)
@@ -421,7 +543,7 @@ def _read_pcd(path: str) -> RawCloud:
     names = [c[0] for c in cols]
     if "rgb" in names or "rgba" in names:
         key = "rgb" if "rgb" in names else "rgba"
-        if mode == "binary":
+        if mode != "ascii":
             packed = np.asarray(data[key]).view(np.uint32) if np.asarray(
                 data[key]).dtype.kind == "u" else np.asarray(
                 data[key]).astype(np.float32).view(np.uint32)
@@ -446,6 +568,80 @@ def _read_pcd(path: str) -> RawCloud:
         colors = colors[good] if colors is not None else None
         normals = normals[good] if normals is not None else None
     return RawCloud(points=points, colors=colors, normals=normals)
+
+
+def write_pcd(
+    path: typing.Union[str, os.PathLike],
+    points: np.ndarray,
+    colors: typing.Optional[np.ndarray] = None,
+    normals: typing.Optional[np.ndarray] = None,
+    mode: str = "binary",
+) -> None:
+    """Write a PCD v0.7 file (``ascii`` | ``binary`` | ``binary_compressed``).
+
+    PCL conventions: f32 coordinates, colours packed into one f32 ``rgb``
+    field (u32 0x00RRGGBB bit pattern), compressed bodies stored
+    field-major (SOA) under LZF.
+    """
+    if mode not in ("ascii", "binary", "binary_compressed"):
+        raise ValueError(f"unknown PCD mode {mode!r}")
+    points = np.asarray(points, dtype=np.float32).reshape(-1, 3)
+    n = points.shape[0]
+    fields, sizes, types, counts = ["x", "y", "z"], [4] * 3, ["F"] * 3, [1] * 3
+    columns = [points[:, 0], points[:, 1], points[:, 2]]
+    if normals is not None:
+        normals = np.asarray(normals, dtype=np.float32).reshape(-1, 3)
+        fields += ["normal_x", "normal_y", "normal_z"]
+        sizes += [4] * 3
+        types += ["F"] * 3
+        counts += [1] * 3
+        columns += [normals[:, 0], normals[:, 1], normals[:, 2]]
+    if colors is not None:
+        c8 = np.clip(np.round(np.asarray(colors, dtype=np.float64)
+                              .reshape(-1, 3) * 255.0), 0, 255).astype(np.uint32)
+        packed = ((c8[:, 0] << 16) | (c8[:, 1] << 8) | c8[:, 2]).astype(np.uint32)
+        fields.append("rgb")
+        sizes.append(4)
+        types.append("F")
+        counts.append(1)
+        columns.append(packed.view(np.float32))
+    header = "\n".join([
+        "# .PCD v0.7 - Point Cloud Data file format",
+        "VERSION 0.7",
+        "FIELDS " + " ".join(fields),
+        "SIZE " + " ".join(map(str, sizes)),
+        "TYPE " + " ".join(types),
+        "COUNT " + " ".join(map(str, counts)),
+        f"WIDTH {n}",
+        "HEIGHT 1",
+        "VIEWPOINT 0 0 0 1 0 0 0",
+        f"POINTS {n}",
+        f"DATA {mode}",
+        "",
+    ])
+    with open(path, "wb") as f:
+        f.write(header.encode("ascii"))
+        if mode == "ascii":
+            # PCL prints packed rgb as its float32 value; 9 significant
+            # digits round-trip every float32 (incl. the denormal-range
+            # packed-rgb bit patterns).
+            mat = np.stack([c.astype(np.float32) for c in columns], axis=1)
+            np.savetxt(f, mat.astype(np.float64), fmt="%.9g")
+        elif mode == "binary":
+            rec = np.empty(n, dtype=np.dtype(
+                [(name, "<f4") for name in fields]))
+            for name, col in zip(fields, columns):
+                rec[name] = col
+            f.write(rec.tobytes())
+        else:  # binary_compressed: SOA under LZF
+            import struct
+
+            raw = b"".join(
+                np.ascontiguousarray(col, dtype="<f4").tobytes()
+                for col in columns)
+            comp = _lzf_compress(raw)
+            f.write(struct.pack("<II", len(comp), len(raw)))
+            f.write(comp)
 
 
 # --------------------------------------------------------------------------- XYZ

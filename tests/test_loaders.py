@@ -201,6 +201,86 @@ def test_faces_after_vertex_still_ignored(tmp_path):
     np.testing.assert_allclose(raw.points, PTS0)
 
 
+# ------------------------------------------------ PCD incl. binary_compressed
+
+
+@pytest.mark.parametrize("mode", ["ascii", "binary", "binary_compressed"])
+@pytest.mark.parametrize("with_payload", [True, False])
+def test_pcd_roundtrip(tmp_path, mode, with_payload):
+    from open_pcc_metric_tpu.io import write_pcd
+
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(257, 3)) * 100.0
+    col = rng.integers(0, 256, size=(257, 3)) / 255.0
+    nrm = rng.normal(size=(257, 3))
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    p = tmp_path / "r.pcd"
+    write_pcd(p, pts, colors=col if with_payload else None,
+              normals=nrm if with_payload else None, mode=mode)
+    raw = read_point_cloud(p)
+    np.testing.assert_allclose(raw.points, pts.astype(np.float32), rtol=1e-6)
+    if with_payload:
+        np.testing.assert_allclose(raw.colors, col, atol=1e-12)
+        np.testing.assert_allclose(raw.normals, nrm.astype(np.float32),
+                                   rtol=1e-6)
+    else:
+        assert raw.colors is None and raw.normals is None
+
+
+def test_pcd_compressed_matches_binary(tmp_path):
+    """binary_compressed decodes to bit-identical arrays vs plain binary."""
+    from open_pcc_metric_tpu.io import write_pcd
+
+    rng = np.random.default_rng(11)
+    # Voxelised coords: repeated float values make the LZF stream take
+    # real back-references, not just literal runs.
+    pts = np.round(rng.normal(size=(1000, 3)) * 8.0)
+    col = rng.integers(0, 4, size=(1000, 3)) / 255.0
+    pb, pc = tmp_path / "b.pcd", tmp_path / "c.pcd"
+    write_pcd(pb, pts, colors=col, mode="binary")
+    write_pcd(pc, pts, colors=col, mode="binary_compressed")
+    assert pc.stat().st_size < pb.stat().st_size  # it actually compressed
+    rb, rc = read_point_cloud(pb), read_point_cloud(pc)
+    np.testing.assert_array_equal(rb.points, rc.points)
+    np.testing.assert_array_equal(rb.colors, rc.colors)
+
+
+def test_lzf_stream_fuzz():
+    from open_pcc_metric_tpu.io.loaders import _lzf_compress, _lzf_decompress
+
+    rng = np.random.default_rng(5)
+    for n in (0, 1, 2, 3, 31, 32, 33, 300, 5000):
+        for alphabet in (2, 256):
+            raw = bytes(rng.integers(0, alphabet, size=n, dtype=np.uint8))
+            assert _lzf_decompress(_lzf_compress(raw), n) == raw
+    # long self-overlapping run (RLE-style back-reference)
+    raw = b"ab" * 4000 + b"tail"
+    assert _lzf_decompress(_lzf_compress(raw), len(raw)) == raw
+
+
+def test_lzf_corrupt_raises():
+    from open_pcc_metric_tpu.io.loaders import _lzf_compress, _lzf_decompress
+
+    good = _lzf_compress(b"hello hello hello hello")
+    with pytest.raises(ValueError):
+        _lzf_decompress(good, 7)  # wrong declared size
+    with pytest.raises(ValueError):
+        _lzf_decompress(good[:-2], 23)  # truncated stream
+    with pytest.raises(ValueError):
+        _lzf_decompress(b"\xff\xff", 400)  # back-ref before start
+
+
+def test_pcd_compressed_truncated_raises(tmp_path):
+    from open_pcc_metric_tpu.io import write_pcd
+
+    p = tmp_path / "t.pcd"
+    write_pcd(p, PTS0, mode="binary_compressed")
+    blob = p.read_bytes()
+    p.write_bytes(blob[:-3])
+    with pytest.raises(ValueError):
+        read_point_cloud(p)
+
+
 def test_pts_integral_dark_colors_normalised(tmp_path):
     """All-integral .pts colours normalise by 255 even when every value is
     <= 1 (near-black scan): the format's documented colour range wins over

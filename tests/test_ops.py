@@ -208,9 +208,14 @@ _GOLDENS = os.path.join(os.path.dirname(__file__), "goldens",
                         "o3d_goldens.json")
 
 
-@pytest.mark.skipif(not os.path.exists(_GOLDENS),
-                    reason="no Open3D golden fixtures (see "
-                           "docs/open3d_install_attempt.log)")
+@pytest.mark.skipif(
+    not os.path.exists(_GOLDENS),
+    reason="Open3D golden fixtures missing — the executed normals/OBB parity "
+           "check vs the actual Open3D-backed reference is PENDING. In any "
+           "environment where `pip install open3d` works, run "
+           "`python tools/make_o3d_goldens.py` and commit "
+           "tests/goldens/o3d_goldens.json (install attempts in this "
+           "zero-egress env: docs/open3d_install_attempt.log)")
 def test_open3d_goldens():
     import importlib.util
     import json
