@@ -127,6 +127,119 @@ def run_tpu(origin, reconst, with_normals=True):
     return result, float(np.median(times)), compile_s
 
 
+def _oracle_nn_fast(a, b, exclude_self=False):
+    """Exact f64 1-NN with lowest-index tie-breaking, cKDTree-accelerated.
+
+    Drop-in for tests/oracle.nn_bruteforce at bench scale (the O(N*M) block
+    sweep would take hours at 800k). Exactness: squared distances are
+    recomputed in f64 straight from candidate coordinates (integer voxel
+    coords => exact), and any row whose k-th candidate ties the minimum is
+    re-queried with a larger k, so the lowest ORIGINAL index among all
+    global ties is always selected — the same invariant every device NN
+    backend guarantees (and tests enforce).
+    """
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(b)
+    n = a.shape[0]
+    idx = np.empty(n, dtype=np.int64)
+    dist = np.empty(n, dtype=np.float64)
+    rows = np.arange(n)
+    k = 8
+    while rows.size:
+        kq = min(k, b.shape[0])
+        _, cand = tree.query(a[rows], k=kq, workers=-1)
+        cand = cand.reshape(rows.size, kq)
+        dsq = ((a[rows, None, :] - b[cand]) ** 2).sum(-1)
+        if exclude_self:
+            dsq[cand == rows[:, None]] = np.inf
+        dmin = dsq.min(axis=1)
+        # Lowest index among exact ties within the candidate set.
+        tied = dsq == dmin[:, None]
+        low = np.where(tied, cand, np.iinfo(np.int64).max).min(axis=1)
+        # A row is only settled if the candidate set provably contains every
+        # global tie: its worst returned candidate must be strictly farther
+        # than the minimum (or the whole cloud was returned).
+        kth = np.where(np.isfinite(dsq), dsq, -np.inf).max(axis=1)
+        done = (kth > dmin) | (kq >= b.shape[0])
+        idx[rows[done]] = low[done]
+        dist[rows[done]] = dmin[done]
+        rows = rows[~done]
+        k *= 8
+    return idx, dist
+
+
+def _oracle_knn_fast(a, b, k, exclude_self=False):
+    """Exact f64 lex-(dist, index) k-NN, cKDTree-accelerated (see above)."""
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(b)
+    n = a.shape[0]
+    idxs = np.empty((n, k), dtype=np.int64)
+    dists = np.empty((n, k), dtype=np.float64)
+    rows = np.arange(n)
+    kq = max(2 * k, k + 10)
+    while rows.size:
+        kq = min(kq, b.shape[0])
+        _, cand = tree.query(a[rows], k=kq, workers=-1)
+        cand = cand.reshape(rows.size, kq)
+        dsq = ((a[rows, None, :] - b[cand]) ** 2).sum(-1)
+        if exclude_self:
+            dsq[cand == rows[:, None]] = np.inf
+        # lex (dsq, idx) ascending via stable double argsort
+        o1 = np.argsort(cand, axis=1, kind="stable")
+        d1 = np.take_along_axis(dsq, o1, axis=1)
+        c1 = np.take_along_axis(cand, o1, axis=1)
+        o2 = np.argsort(d1, axis=1, kind="stable")
+        d2 = np.take_along_axis(d1, o2, axis=1)
+        c2 = np.take_along_axis(c1, o2, axis=1)
+        # Settled iff the k-th lex pair cannot be displaced by an unreturned
+        # candidate: the worst returned distance strictly exceeds the k-th.
+        kth = np.where(np.isfinite(d2), d2, -np.inf).max(axis=1)
+        done = (kth > d2[:, k - 1]) | (kq >= b.shape[0])
+        idxs[rows[done]] = c2[done, :k]
+        dists[rows[done]] = d2[done, :k]
+        rows = rows[~done]
+        kq *= 4
+    return idxs, dists
+
+
+def run_oracle(origin, reconst, with_normals=True):
+    """f64 numpy oracle (tests/oracle.py) on the bench pair, NN-accelerated.
+
+    VERDICT r3 item 2: every BENCH_r*.json carries a measured
+    max|PSNR delta| between the TPU f32 path and this oracle, proving the
+    north star's accuracy half (<=1e-4) on real hardware, not only speed.
+    """
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "pcc_bench_oracle", os.path.join(_HERE, "tests", "oracle.py"))
+    oracle = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(oracle)
+    oracle.nn_bruteforce = _oracle_nn_fast
+    oracle.knn_bruteforce = _oracle_knn_fast
+    return oracle.full_metrics(
+        origin[0], reconst[0], colors0=origin[1], colors1=reconst[1],
+        normals0=origin[2] if with_normals else None,
+        normals1=reconst[2] if with_normals else None,
+        color_scheme="ycc", point_to_plane=True, hausdorff=True,
+        d2_mode="pc_error",
+    )
+
+
+def psnr_delta(result, golden) -> float:
+    """max |PSNR delta| between a fused_evaluate result and oracle values."""
+    worst = 0.0
+    for key, want in golden.items():
+        if "psnr" not in key:
+            continue
+        got = np.asarray(result[key], dtype=np.float64)
+        worst = max(worst, float(np.max(np.abs(
+            got - np.asarray(want, dtype=np.float64)))))
+    return worst
+
+
 def run_cpu_baseline(origin, reconst):
     """Reference-equivalent full suite on CPU (scipy cKDTree, float64)."""
     from scipy.spatial import cKDTree
@@ -286,6 +399,30 @@ def main():
     result, tpu_s, compile_s = run_tpu(origin, reconst,
                                        with_normals=with_normals)
 
+    # Accuracy half of the north star, measured on hardware: compare the
+    # f32 TPU result against the f64 numpy oracle. Oracle values depend
+    # only on the (deterministic) clouds, so they are cached beside the
+    # CPU baseline; delete the cache to recompute.
+    okey = "oracle" if with_normals else "oracle_normals"
+    golden = cache.get(okey)
+    if golden is None:
+        golden = {k: np.asarray(v).tolist()
+                  for k, v in run_oracle(
+                      origin, reconst, with_normals=with_normals).items()}
+        cache[okey] = golden
+        with open(_CACHE, "w") as f:
+            json.dump(cache, f)
+    delta = psnr_delta(result, golden)
+    # The 1e-4 parity bar applies to the file-normals suite (BASELINE.json
+    # north star). The estimation-inclusive scenario compares f32 closed-form
+    # eigh normals against f64 LAPACK normals — direction noise in flat
+    # neighbourhoods makes D2 intrinsically less reproducible; its
+    # (measured) bound is documented in ROUND4_NOTES.md.
+    bar = 1e-4 if with_normals else 5e-3
+    assert delta <= bar, (
+        f"PSNR parity regression: max|delta| {delta:.3e} > {bar:g} vs the "
+        "f64 oracle — a TPU kernel is producing wrong numbers")
+
     mpts = n_total / tpu_s / 1e6
     cpu_mpts = n_total / cpu_s / 1e6
     suite = ("full symmetric D1+D2+ycc suite" if with_normals else
@@ -295,6 +432,7 @@ def main():
         "value": round(mpts, 3),
         "unit": "Mpoints/sec/chip",
         "vs_baseline": round(mpts / cpu_mpts, 2),
+        "max_abs_psnr_delta": float(f"{delta:.3e}"),
     }))
 
 

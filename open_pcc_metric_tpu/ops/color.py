@@ -8,7 +8,13 @@ Reference semantics reproduced exactly:
     acknowledged inconsistency, SURVEY Q5 (metric.py:293-299).
 
 The reference applies the matrix row-by-row via ``np.apply_along_axis``
-(metric.py:286-290); here it is a single (N,3)x(3,3) matmul.
+(metric.py:286-290); here the 3x3 matrix is unrolled into elementwise
+multiply-adds. NOT a matmul on purpose: XLA:TPU lowers f32 matmuls onto
+the MXU at default precision, which multiplies in bfloat16 — measured
+~2.6e-3 relative error on transformed colours at 800k, i.e. a 0.33 dB
+colour-Hausdorff-PSNR error vs the f64 oracle (caught by bench.py's
+max_abs_psnr_delta gate). The unrolled form runs on the VPU in full f32
+(and is faster anyway for a 3-wide contraction).
 """
 from __future__ import annotations
 
@@ -49,11 +55,23 @@ def color_matrix(source_scheme: str, target_scheme: str) -> np.ndarray:
 def transform_colors(
     colors: jnp.ndarray, source_scheme: str, target_scheme: str
 ) -> jnp.ndarray:
-    """(N, 3) colour transform; matmul against the reference matrices."""
+    """(N, 3) colour transform against the reference matrices (exact f32).
+
+    Unrolled mul-adds, NOT ``colors @ m.T`` — see module docstring (MXU
+    bf16 default precision corrupts colour PSNRs on TPU).
+    """
     if source_scheme == target_scheme:
         return colors
-    m = jnp.asarray(color_matrix(source_scheme, target_scheme), colors.dtype)
-    return colors @ m.T
+    m = color_matrix(source_scheme, target_scheme)
+    cols = []
+    for r in range(3):
+        acc = None
+        for c in range(3):
+            coef = jnp.asarray(m[r, c], colors.dtype)
+            term = colors[..., c] * coef
+            acc = term if acc is None else acc + term
+        cols.append(acc)
+    return jnp.stack(cols, axis=-1)
 
 
 def get_color_peak(color_scheme: str) -> float:

@@ -44,13 +44,34 @@ def normals_from_neighbors(
         cnt = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)
         mean = jnp.sum(neigh * w, axis=1, keepdims=True) / cnt
         centered = (neigh - mean) * w
-        cov = jnp.einsum("pki,pkj->pij", centered, centered) / cnt[..., 0][..., None]
+        cov = cov3(centered) / cnt[..., 0][..., None]
     else:
         mean = jnp.mean(neigh, axis=1, keepdims=True)
         centered = neigh - mean
         # Population covariance (divide by k), matching Open3D's cumulants.
-        cov = jnp.einsum("pki,pkj->pij", centered, centered) / k
+        cov = cov3(centered) / k
     return smallest_eigenvector_sym3(cov)
+
+
+def cov3(centered: jnp.ndarray) -> jnp.ndarray:
+    """(P, k, 3) centred neighbourhoods -> (P, 3, 3) covariance sums.
+
+    Elementwise VPU products, NOT ``einsum("pki,pkj->pij")``: XLA:TPU lowers
+    that contraction onto the MXU, whose default f32 precision multiplies in
+    bfloat16 — enough covariance noise to visibly tilt PCA normals (same
+    failure mode as the colour-transform matmul, see ops/color.py).
+    """
+    c0, c1, c2 = centered[..., 0], centered[..., 1], centered[..., 2]
+    s00 = jnp.sum(c0 * c0, axis=-1)
+    s11 = jnp.sum(c1 * c1, axis=-1)
+    s22 = jnp.sum(c2 * c2, axis=-1)
+    s01 = jnp.sum(c0 * c1, axis=-1)
+    s02 = jnp.sum(c0 * c2, axis=-1)
+    s12 = jnp.sum(c1 * c2, axis=-1)
+    row0 = jnp.stack([s00, s01, s02], axis=-1)
+    row1 = jnp.stack([s01, s11, s12], axis=-1)
+    row2 = jnp.stack([s02, s12, s22], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
 
 
 @jax.jit

@@ -30,7 +30,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.nn import nn_chunked
 from ..ops.knn import knn
-from ..ops.normals import DEFAULT_KNN
+from ..ops.normals import DEFAULT_KNN, cov3
 from ..ops.eigh3 import smallest_eigenvector_sym3
 
 
@@ -462,7 +462,7 @@ def ring_normals(points_loc: jnp.ndarray, k: int = DEFAULT_KNN,
     _, coords = ring_knn_coords(points_loc, points_loc, k=k, axis=axis)
     mean = jnp.mean(coords, axis=1, keepdims=True)
     centered = coords - mean
-    cov = jnp.einsum("pki,pkj->pij", centered, centered) / k
+    cov = cov3(centered) / k  # elementwise, not MXU (see ops/normals.py)
     return smallest_eigenvector_sym3(cov)
 
 
@@ -481,7 +481,7 @@ def ring_normals_pruned(
         axis=axis, cap=cap)
     mean = jnp.mean(coords, axis=1, keepdims=True)
     centered = coords - mean
-    cov = jnp.einsum("pki,pkj->pij", centered, centered) / k
+    cov = cov3(centered) / k  # elementwise, not MXU (see ops/normals.py)
     return smallest_eigenvector_sym3(cov), ovf
 
 
