@@ -345,7 +345,87 @@ def run_sweep_bench(n_target: int = 200_000, qps: int = 6):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def run_sharded_smoke(n_target: int = 100_000):
+    """On-hardware sharded smoke (VERDICT r3 item 4).
+
+    Runs the pruned Morton-shard ring (shard_map + ppermute + bbox
+    certificates, parallel/sharded.py) on a 1-device mesh on the REAL chip
+    and asserts stats equality with the single-chip fused pair_stats path.
+    All sharding correctness tests run on virtual CPU devices; this is the
+    artifact showing the same program compiles and agrees on TPU hardware.
+    Returns (median_wall_s, n_total, max_rel_delta).
+    """
+    import jax
+    import jax.numpy as jnp
+    from open_pcc_metric_tpu.cloud import Cloud, round_up
+    from open_pcc_metric_tpu.ops.fused import pair_stats
+    from open_pcc_metric_tpu.parallel.sharded import (
+        make_mesh, pack_sorted_frames, sharded_pair_stats_pruned)
+    from open_pcc_metric_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+    origin, reconst = make_clouds(n_target)
+    # pack_sorted_frames stacks frames: one shared padded size, divisible by
+    # (ring shards x 256). One real device => any multiple of 256.
+    pad = round_up(max(origin[0].shape[0], reconst[0].shape[0]), 256)
+    a = Cloud.from_numpy(origin[0], colors=origin[1], normals=origin[2],
+                         pad_to=pad, dtype=jnp.float32)
+    b = Cloud.from_numpy(reconst[0], colors=reconst[1], normals=reconst[2],
+                         pad_to=pad, dtype=jnp.float32)
+    mesh = make_mesh(1, dp=1)
+    kwargs = dict(color_scheme="ycc", point_to_plane=True,
+                  d2_mode="pc_error")
+    packed = pack_sorted_frames([a], [b], **kwargs)
+
+    def run(cap=16):
+        while True:
+            stats = sharded_pair_stats_pruned(mesh, packed, cap=cap,
+                                              **kwargs)
+            if not bool(np.asarray(stats["nn_overflow"]).any()) \
+                    or cap >= pad // 256:
+                return stats
+            cap *= 4
+
+    stats = run()  # compile warm-up + escalation to the working cap
+    times = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        stats = run()
+        np.asarray(stats["d1_sse_l"])[:1]
+        times.append(time.perf_counter() - t0)
+
+    single = pair_stats(
+        a.points, b.points, jnp.asarray(a.n), jnp.asarray(b.n),
+        a_col=a.colors, b_col=b.colors, a_nrm=a.normals, b_nrm=b.normals,
+        backend="pruned", **kwargs)
+    worst = 0.0
+    for key, val in single.items():
+        if key == "nn_overflow":
+            continue
+        got = np.asarray(stats[key], dtype=np.float64).reshape(-1)
+        want = np.asarray(val, dtype=np.float64).reshape(-1)
+        scale = np.maximum(np.abs(want), 1e-30)
+        worst = max(worst, float(np.max(np.abs(got - want) / scale)))
+    assert worst <= 1e-5, (
+        f"sharded ring disagrees with fused path on TPU: max rel "
+        f"delta {worst:.3e}")
+    return float(np.median(times)), int(a.n) + int(b.n), worst
+
+
 def main():
+    # PCC_BENCH_SHARDED=1: on-TPU sharded smoke — shard_map + ppermute +
+    # the pruned ring on a 1-device mesh, equality-gated vs the fused path.
+    if os.environ.get("PCC_BENCH_SHARDED") == "1":
+        wall, n_total, delta = run_sharded_smoke()
+        print(json.dumps({
+            "metric": "sharded pruned ring on-TPU smoke (1-device mesh)",
+            "value": round(n_total / wall / 1e6, 3),
+            "unit": "Mpoints/sec/chip",
+            "vs_baseline": 1.0,
+            "max_rel_stats_delta_vs_fused": float(f"{delta:.3e}"),
+        }))
+        return
+
     # PCC_BENCH_SWEEP=1: batch/sweep-path scenario — one JSON line with the
     # steady-state per-pair throughput of a 6-QP sweep at ~200k points.
     if os.environ.get("PCC_BENCH_SWEEP") == "1":
