@@ -649,25 +649,42 @@ def _prefetch_obb(a, peak):
     return fut
 
 
-def _cold_fold_applicable(a, b, point_to_plane, backend):
+def _needs_est(c):
+    return (c.normals is None
+            and getattr(c, "_est_normals", None) is None)
+
+
+def _cold_device_state(a, b, color_scheme):
+    """True when either cloud still lacks per-Cloud device state (grid,
+    qt8 pack, sorted colours) that the fold would otherwise have to build
+    through separate ~30 ms dispatches."""
+    for c in (a, b):
+        if getattr(c, "_grid", None) is None \
+                or getattr(c, "_qt8", None) is None:
+            return True
+        if color_scheme is not None and c.colors is not None \
+                and getattr(c, "_sorted_colors", None) is None:
+            return True
+    return False
+
+
+def _cold_fold_applicable(a, b, color_scheme, point_to_plane, backend):
     """The one-dispatch fold handles the big-cloud pruned cases where at
-    least one cloud still needs normal estimation; every corner (small
-    clouds, warm or file normals everywhere, non-pruned backends) keeps
-    the stepwise path, whose behaviour is unchanged."""
+    least one cloud is cold: either it needs normal estimation, or its
+    per-cloud device state (grid/qt8/sorted colours) is unbuilt — the
+    sweep steady state, where every degraded cloud is brand new (the
+    reference rebuilds everything per pair, cloud_pair.py:54-80). Warm
+    pairs and every corner (small clouds, non-pruned backends) keep the
+    stepwise path, whose behaviour is unchanged."""
     from .normals import DEFAULT_KNN, _PRUNE_THRESHOLD
 
-    def needs_est(c):
-        return (c.normals is None
-                and getattr(c, "_est_normals", None) is None)
-
-    return (
-        backend == "pruned"
-        and point_to_plane
-        and (needs_est(a) or needs_est(b))
-        and min(a.padded_size, b.padded_size) >= _PRUNE_THRESHOLD
-        and min(int(a.n), int(b.n)) >= max(DEFAULT_KNN, 2)
-        and a.points.dtype == b.points.dtype
-    )
+    if (backend != "pruned"
+            or min(a.padded_size, b.padded_size) < _PRUNE_THRESHOLD
+            or a.points.dtype != b.points.dtype):
+        return False
+    if point_to_plane and (_needs_est(a) or _needs_est(b)):
+        return min(int(a.n), int(b.n)) >= max(DEFAULT_KNN, 2)
+    return _cold_device_state(a, b, color_scheme) and int(a.n) >= 2
 
 
 def _fused_evaluate_cold(a, b, color_scheme, point_to_plane, d2_mode,
@@ -690,12 +707,15 @@ def _fused_evaluate_cold(a, b, color_scheme, point_to_plane, d2_mode,
                                   (base_cap, base_ft))
 
     def nrm_state(c):
+        # Pass only CACHED sorted normals: computing them here would cost a
+        # grid build + gather dispatch outside the fold, and the default
+        # (non-paykernel) pair path never reads them.
         if c.normals is not None:
-            return c.normals, _sorted_normals(c, c.normals), False
+            return c.normals, getattr(c, "_sorted_normals", None), False
         est = getattr(c, "_est_normals", None)
         if est is not None:
             return est, getattr(c, "_sorted_normals", None), False
-        return None, None, True
+        return None, None, point_to_plane
 
     a_nrm, a_nrm_s, est_a = nrm_state(a)
     b_nrm, b_nrm_s, est_b = nrm_state(b)
@@ -780,7 +800,7 @@ def fused_evaluate(
             "reference D2 mode requires n_origin <= n_reconst "
             f"(got {a.n} > {b.n}); use d2_mode='pc_error'"
         )
-    if _cold_fold_applicable(a, b, point_to_plane, backend):
+    if _cold_fold_applicable(a, b, color_scheme, point_to_plane, backend):
         out = _fused_evaluate_cold(a, b, color_scheme, point_to_plane,
                                    d2_mode, peak)
         if out is not None:

@@ -114,20 +114,81 @@ def test_cold_fold_overflow_falls_back(small_thresholds, monkeypatch):
                                    err_msg=k)
 
 
-def test_cold_fold_not_taken_with_file_normals(small_thresholds,
-                                               monkeypatch):
-    a, b = _pair(seed=3)
-    nrm = np.zeros((a.padded_size, 3), np.float32)
+def _with_unit_normals(c):
+    nrm = np.zeros((c.padded_size, 3), np.float32)
     nrm[:, 2] = 1.0
-    a.normals = jnp.asarray(nrm)
-    b.normals = jnp.asarray(np.zeros((b.padded_size, 3), np.float32)
-                            .copy() + np.array([0, 0, 1], np.float32))
+    c.normals = jnp.asarray(nrm)
+    return c
 
-    def boom(*args, **kw):  # pragma: no cover - fold must not run
-        raise AssertionError("fold taken despite file normals")
+
+def test_fold_taken_with_file_normals_cold_state(small_thresholds,
+                                                 monkeypatch):
+    """File-normals pairs whose device state is cold fold too (sweep steady
+    state: grids + qt8 + sorted colours built in the ONE dispatch), with
+    estimation disabled on both sides; warm pairs keep the stepwise path."""
+    a, b = map(_with_unit_normals, _pair(seed=3))
+    calls = {"est": None}
+    orig = fused.cold_pair_program
+
+    def spy(*args, **kw):
+        calls["est"] = (kw.get("est_a"), kw.get("est_b"))
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(fused, "cold_pair_program", spy)
+    res_fold = fused.fused_evaluate(
+        a, b, color_scheme="ycc", point_to_plane=True, backend="pruned")
+    assert calls["est"] == (False, False), calls["est"]
+    for c in (a, b):
+        assert getattr(c, "_grid", None) is not None
+        assert getattr(c, "_qt8", None) is not None
+        assert getattr(c, "_sorted_colors", None) is not None
+    assert getattr(a, "_boundary_stats", None) is not None
+
+    # Warm pair: every cache is populated, the fold must NOT run again.
+    def boom(*args, **kw):  # pragma: no cover - fold must not re-run
+        raise AssertionError("fold taken despite warm device state")
 
     monkeypatch.setattr(fused, "_fused_evaluate_cold", boom)
-    fused.fused_evaluate(a, b, point_to_plane=True, backend="pruned")
+    res_warm = fused.fused_evaluate(
+        a, b, color_scheme="ycc", point_to_plane=True, backend="pruned")
+
+    a2, b2 = map(_with_unit_normals, _pair(seed=3))
+    monkeypatch.setattr(fused, "_cold_fold_applicable",
+                        lambda *a_, **k_: False)
+    res_step = fused.fused_evaluate(
+        a2, b2, color_scheme="ycc", point_to_plane=True, backend="pruned")
+    for k in res_step:
+        np.testing.assert_allclose(res_fold[k], res_step[k], rtol=1e-6,
+                                   err_msg=k)
+        np.testing.assert_allclose(res_warm[k], res_step[k], rtol=1e-6,
+                                   err_msg=k)
+
+
+def test_fold_taken_geometry_only_cold_state(small_thresholds, monkeypatch):
+    """point_to_plane=False pairs with cold state also fold (no normals
+    anywhere) and match the stepwise values."""
+    a, b = _pair(seed=9)
+    calls = {"est": None}
+    orig = fused.cold_pair_program
+
+    def spy(*args, **kw):
+        calls["est"] = (kw.get("est_a"), kw.get("est_b"))
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(fused, "cold_pair_program", spy)
+    res_fold = fused.fused_evaluate(
+        a, b, color_scheme="ycc", point_to_plane=False, backend="pruned")
+    assert calls["est"] == (False, False), calls["est"]
+
+    a2, b2 = _pair(seed=9)
+    monkeypatch.setattr(fused, "_cold_fold_applicable",
+                        lambda *a_, **k_: False)
+    res_step = fused.fused_evaluate(
+        a2, b2, color_scheme="ycc", point_to_plane=False, backend="pruned")
+    assert set(res_fold) == set(res_step)
+    for k in res_step:
+        np.testing.assert_allclose(res_fold[k], res_step[k], rtol=1e-6,
+                                   err_msg=k)
 
 
 def test_partial_fold_sweep_shape(small_thresholds, monkeypatch):
