@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -336,6 +337,11 @@ def run_sweep_bench(n_target: int = 200_000, qps: int = 6):
             items, journal, color_scheme="ycc", point_to_plane=True,
             d2_mode="pc_error")
         assert all("error" not in r for r in results), results
+        if os.environ.get("PCC_SWEEP_DEBUG") == "1":
+            for r in results:
+                print(json.dumps({k: r.get(k) for k in
+                                  ("tag", "wall_s", "mpoints_per_sec",
+                                   "stages") if k in r}), file=sys.stderr)
         # Steady state: drop the first pair (compiles + per-reference-cloud
         # caches built there); report the median of the rest.
         per_pair = [(r["wall_s"], r["mpoints_per_sec"]) for r in results[1:]]
