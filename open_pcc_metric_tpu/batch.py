@@ -94,23 +94,47 @@ def _read_journal(path: str) -> typing.Dict[str, dict]:
 
 
 class _CloudCache:
-    """Small LRU of loaded clouds keyed by (path, dtype, pad_to)."""
+    """Small LRU of loaded clouds keyed by (path, dtype, pad_to).
 
-    def __init__(self, capacity: int = 4):
+    Thread-safe with single-flight loading: when two prefetch workers ask
+    for the same cloud (e.g. the shared reference of a QP sweep while the
+    pipeline is still filling), the second blocks on the first's future
+    instead of parsing + uploading the file twice.
+    """
+
+    def __init__(self, capacity: int = 6):
+        import collections
+        import threading
+
         self._cap = capacity
-        self._store: "typing.OrderedDict" = __import__(
-            "collections"
-        ).OrderedDict()
+        self._lock = threading.Lock()
+        self._store: "typing.OrderedDict" = collections.OrderedDict()
 
     def get(self, path: str, dtype: str, pad_to=None):
+        import concurrent.futures as _cf
+
         key = (path, dtype, pad_to)
-        if key in self._store:
-            self._store.move_to_end(key)
-            return self._store[key]
-        cloud = load_cloud(path, dtype=dtype, pad_to=pad_to)
-        self._store[key] = cloud
-        if len(self._store) > self._cap:
-            self._store.popitem(last=False)
+        with self._lock:
+            fut = self._store.get(key)
+            if fut is not None:
+                self._store.move_to_end(key)
+                mine = None
+            else:
+                mine = _cf.Future()
+                self._store[key] = mine
+                if len(self._store) > self._cap:
+                    self._store.popitem(last=False)
+        if mine is None:
+            return fut.result()
+        try:
+            cloud = load_cloud(path, dtype=dtype, pad_to=pad_to)
+        except BaseException as e:
+            mine.set_exception(e)
+            with self._lock:
+                if self._store.get(key) is mine:
+                    del self._store[key]  # allow a retry next time
+            raise
+        mine.set_result(cloud)
         return cloud
 
 
@@ -154,17 +178,19 @@ def run_sweep(
                     pass  # unreadable now -> per-pair error later
         if biggest:
             pad_to = pad_bucket(biggest)
-    # One-item prefetch pipeline: while the device evaluates pair i, a
-    # side thread parses pair i+1's files and issues its host->device
-    # transfers (the loader + ~tens of MB of tunnel upload otherwise
-    # serialise with compute). Only the prefetch thread touches the cloud
-    # cache; the main thread consumes completed futures, so cache access
-    # never runs concurrently with a mutation.
+    # Two-deep prefetch pipeline: while the device evaluates pair i, side
+    # threads parse pair i+1/i+2's files and issue their host->device
+    # transfers (the loader + ~MBs of tunnel upload otherwise serialise
+    # with compute). Two workers let pair i+2's CPU parse overlap pair
+    # i+1's tunnel-upload wait — the upload is the sweep's measured
+    # critical path (stage split in the journal; tools/profile_upload.py).
+    # The cloud cache is single-flight thread-safe (_CloudCache).
     import concurrent.futures as _cf
 
     todo = [it for it in items if it.tag not in done]
     todo_index = {it.tag: i for i, it in enumerate(todo)}
-    prefetcher = _cf.ThreadPoolExecutor(1)
+    prefetcher = _cf.ThreadPoolExecutor(2)
+    PREFETCH_DEPTH = 2
 
     def _fetch(item):
         t0 = time.perf_counter()
@@ -201,13 +227,14 @@ def run_sweep(
                 fut = futures.pop(item.tag, None)
                 if fut is None:  # self-heal a severed prefetch chain
                     fut = prefetcher.submit(_fetch, item)
-                # Submit the NEXT prefetch before resolving this one, so a
-                # failed load still keeps the pipeline running.
+                # Submit the next PREFETCH_DEPTH prefetches before resolving
+                # this one, so a failed load still keeps the pipeline running.
                 pos = todo_index[item.tag]
-                if pos + 1 < len(todo):
-                    nxt = todo[pos + 1]
-                    if nxt.tag not in futures:
-                        futures[nxt.tag] = prefetcher.submit(_fetch, nxt)
+                for ahead in range(1, PREFETCH_DEPTH + 1):
+                    if pos + ahead < len(todo):
+                        nxt = todo[pos + ahead]
+                        if nxt.tag not in futures:
+                            futures[nxt.tag] = prefetcher.submit(_fetch, nxt)
                 a, b, fetch_stages = fut.result()
                 t_loaded = time.perf_counter()
                 metrics = fused_evaluate(

@@ -17,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 import typing
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -51,6 +52,62 @@ def pad_bucket(n: int, policy: str = "bucket") -> int:
         return 1 << int(n - 1).bit_length()
     step = max(_MIN_ALIGN, 1 << (int(n - 1).bit_length() - 4))
     return round_up(n, step)
+
+
+# --- thin host->device transfers -------------------------------------------
+# The axon tunnel moves ~40 MB/s with a ~60 ms fixed cost per batch of
+# transfers (tools/profile_upload.py), and a sweep's steady state is
+# fetch-bound on exactly these uploads (batch.run_sweep stage split). When a
+# cloud's payload is exactly representable in a narrower dtype — integer
+# voxel coordinates in int16, 8-bit colours in uint8 — uploading the narrow
+# array and widening ON DEVICE is bit-identical and moves 21 B/point instead
+# of 36 (normals must stay f32). The hydrate programs below run once per
+# padded size (n is traced), dispatched asynchronously at load time.
+
+
+@jax.jit
+def _hydrate_points_i16(pts_i16: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """(P, 3) int16 + valid count -> (P, 3) f32 with PAD_SENTINEL tail.
+
+    Exact: |coord| <= 32766 int16 -> f32 is lossless (f32 mantissa 24 bits).
+    """
+    f = pts_i16.astype(jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, f.shape, 0) < n
+    return jnp.where(rows, f, jnp.float32(PAD_SENTINEL))
+
+
+# Canonical u8 -> f32 color values, computed on host in f64 (the loaders'
+# reference conversion). A 256-entry table gather is bit-exact on every
+# backend; arithmetic forms are NOT — XLA constant-folds x/255.0 into
+# x * (1/255), which differs by 1 ulp for 46 of the 256 values.
+_U8_COLOR_TABLE = np.asarray(
+    np.arange(256, dtype=np.float64) / 255.0, dtype=np.float32)
+
+
+@jax.jit
+def _hydrate_colors_u8(col_u8: jnp.ndarray) -> jnp.ndarray:
+    """(P, 3) uint8 -> f32 in [0, 1], via the canonical table."""
+    return jnp.take(jnp.asarray(_U8_COLOR_TABLE),
+                    col_u8.astype(jnp.int32), axis=0)
+
+
+def _as_int16_points(points: np.ndarray) -> typing.Optional[np.ndarray]:
+    """points (n, 3) f64 -> int16 view when exactly representable."""
+    r = np.rint(points)
+    if np.abs(r).max(initial=0.0) <= 32766.0 and np.array_equal(r, points):
+        return r.astype(np.int16)
+    return None
+
+
+def _as_uint8_colors(colors: np.ndarray) -> typing.Optional[np.ndarray]:
+    """colors (n, 3) f64 in [0,1] -> uint8 when exactly c = u/255."""
+    scaled = colors * 255.0
+    r = np.rint(scaled)
+    if r.min(initial=0.0) < 0.0 or r.max(initial=0.0) > 255.0:
+        return None
+    if np.array_equal(r / 255.0, colors):
+        return r.astype(np.uint8)
+    return None
 
 
 @dataclasses.dataclass
@@ -91,7 +148,15 @@ class Cloud:
         normals: typing.Optional[np.ndarray] = None,
         dtype: typing.Any = jnp.float32,
         pad_to: typing.Optional[int] = None,
+        thin: typing.Union[bool, str] = "auto",
     ) -> "Cloud":
+        """Build a padded device Cloud.
+
+        ``thin`` controls the narrow-transfer path (int16 points / uint8
+        colors widened on device, see _hydrate_points_i16): "auto" enables
+        it on non-CPU backends where the host->device link is the sweep
+        bottleneck; results are bit-identical either way (tested).
+        """
         points = np.asarray(points, dtype=np.float64).reshape(-1, 3)
         n = points.shape[0]
         if n == 0:
@@ -99,28 +164,47 @@ class Cloud:
         p = pad_to if pad_to is not None else pad_bucket(n, policy="auto")
         if p < n:
             raise ValueError(f"pad_to={p} < n={n}")
+        if thin == "auto":
+            thin = jax.default_backend() != "cpu"
+        thin = bool(thin) and dtype == jnp.float32
 
-        buf = np.full((p, 3), PAD_SENTINEL, dtype=np.float64)
-        buf[:n] = points
-        jpoints = jnp.asarray(buf, dtype=dtype)
+        jpoints = None
+        if thin:
+            pts16 = _as_int16_points(points)
+            if pts16 is not None:
+                ibuf = np.zeros((p, 3), dtype=np.int16)
+                ibuf[:n] = pts16
+                jpoints = _hydrate_points_i16(
+                    jnp.asarray(ibuf), jnp.asarray(n, jnp.int32))
+        if jpoints is None:
+            buf = np.full((p, 3), PAD_SENTINEL, dtype=np.float64)
+            buf[:n] = points
+            jpoints = jnp.asarray(buf, dtype=dtype)
 
         jcolors = None
         if colors is not None:
             colors = np.asarray(colors, dtype=np.float64).reshape(-1, 3)
             if colors.shape[0] != n:
                 raise ValueError("colors/points length mismatch")
-            cbuf = np.zeros((p, 3), dtype=np.float64)
-            cbuf[:n] = colors
-            jcolors = jnp.asarray(cbuf, dtype=dtype)
+            if thin:
+                col8 = _as_uint8_colors(colors)
+                if col8 is not None:
+                    cbuf8 = np.zeros((p, 3), dtype=np.uint8)
+                    cbuf8[:n] = col8
+                    jcolors = _hydrate_colors_u8(jnp.asarray(cbuf8))
+            if jcolors is None:
+                cbuf = np.zeros((p, 3), dtype=np.float64)
+                cbuf[:n] = colors
+                jcolors = jnp.asarray(cbuf, dtype=dtype)
 
         jnormals = None
         if normals is not None:
             normals = np.asarray(normals, dtype=np.float64).reshape(-1, 3)
             if normals.shape[0] != n:
                 raise ValueError("normals/points length mismatch")
-            nbuf = np.zeros((p, 3), dtype=np.float64)
+            nbuf = np.zeros((p, 3), dtype=dtype)
             nbuf[:n] = normals
-            jnormals = jnp.asarray(nbuf, dtype=dtype)
+            jnormals = jnp.asarray(nbuf)
 
         return Cloud(points=jpoints, n=n, colors=jcolors, normals=jnormals,
                      host_points=points)

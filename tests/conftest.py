@@ -28,7 +28,8 @@ import pytest  # noqa: E402
 # multi-chip equality. The driver host's core count varies per session; the
 # full 200+-test suite can exceed a tool window on a 1-core day.
 
-_QUICK_MODULES = {"test_goldens", "test_reference_units", "test_loaders"}
+_QUICK_MODULES = {"test_goldens", "test_reference_units", "test_loaders",
+                  "test_thin_transfer"}
 # (module, test-id prefix after '::') — parametrised ids included explicitly.
 _QUICK_TESTS = {
     ("test_fuzz", "test_tiny_clouds_full_pipeline"),
