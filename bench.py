@@ -299,7 +299,7 @@ def run_cpu_normals(origin, reconst):
     return time.perf_counter() - t0
 
 
-def run_sweep_bench(n_target: int = 200_000, qps: int = 6):
+def run_sweep_bench(n_target: int = 200_000, qps: int = 8):
     """Batch-path scenario (PCC_BENCH_SWEEP=1): a QP-style sweep of ``qps``
     degraded clouds against one reference, through the real run_sweep file
     pipeline (PLY IO, shared pad bucket, journal). Reports STEADY-STATE
@@ -433,7 +433,7 @@ def main():
         return
 
     # PCC_BENCH_SWEEP=1: batch/sweep-path scenario — one JSON line with the
-    # steady-state per-pair throughput of a 6-QP sweep at ~200k points.
+    # steady-state per-pair throughput of an 8-QP sweep at ~200k points.
     if os.environ.get("PCC_BENCH_SWEEP") == "1":
         from open_pcc_metric_tpu.utils import enable_compile_cache
 
@@ -452,7 +452,7 @@ def main():
                 json.dump(cache, f)
         cpu_mpts = (origin[0].shape[0] + reconst[0].shape[0]) / cpu_s / 1e6
         print(json.dumps({
-            "metric": "6-QP sweep steady-state throughput (Mpoints/sec/chip)",
+            "metric": "8-QP sweep steady-state throughput (Mpoints/sec/chip)",
             "value": round(mpts, 3),
             "unit": "Mpoints/sec/chip",
             "vs_baseline": round(mpts / cpu_mpts, 2),

@@ -189,18 +189,23 @@ def run_sweep(
 
     todo = [it for it in items if it.tag not in done]
     todo_index = {it.tag: i for i, it in enumerate(todo)}
-    prefetcher = _cf.ThreadPoolExecutor(2)
-    PREFETCH_DEPTH = 2
+    prefetcher = _cf.ThreadPoolExecutor(3)
+    PREFETCH_DEPTH = 3
 
     def _fetch(item):
         t0 = time.perf_counter()
         a = cache.get(item.ocloud, dtype, pad_to)
         b = cache.get(item.pcloud, dtype, pad_to)
         t1 = time.perf_counter()
-        for c in (a, b):  # force the async uploads to complete
+        for c in (a, b):  # force the async uploads to complete, ONCE per
+            # cloud: each np.asarray round-trips the tunnel (~30 ms), so a
+            # cached cloud must not re-pay 3 of them every pair.
+            if getattr(c, "_upload_synced", False):
+                continue
             for arr in (c.points, c.colors, c.normals):
                 if arr is not None:
                     np.asarray(arr[:1])
+            c._upload_synced = True
         t2 = time.perf_counter()
         # Stage split (VERDICT r3 item 3): parse = file IO + padding on the
         # prefetch thread; upload = waiting out the host->device transfers.
