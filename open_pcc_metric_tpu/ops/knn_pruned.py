@@ -38,6 +38,142 @@ def _resolve_refine_impl(impl: str, dtype) -> str:
     return "xla"
 
 
+def _ext_sorted_slices(qt8, b8r, perm_row, cand_ext, ncand2, k, init,
+                       interp, slice_tiles=512, widths=(4, 8, 16, 32)):
+    """Need-sorted sliced k-NN extension: clamp overhead scales with the
+    slice max, not the global cap.
+
+    The rectangular count-gated extension visits ``cap - p1`` candidate
+    slots for EVERY tile and pays ~0.5 us per clamped tile-visit even when
+    the gate skips it (measured: 95 ms of a 171 ms extension at 800k,
+    mean live need 14.3 of 56). Tiles with large needs are scattered, not
+    Morton-clustered (group-of-8 max need: mean 37.9/56), so group-level
+    compaction saves little. Instead: gather tiles in DESCENDING extension
+    need, cut the sorted order into static ``slice_tiles`` slices, and run
+    each slice through the unchanged gated kernel at the narrowest WIDTH
+    from ``widths + (capext,)`` that covers the slice's max need
+    (lax.switch) — sound by construction, bit-identical results (same
+    per-tile candidate order, same seeds; tiles are independent).
+    Sorted-descending slices are need-homogeneous, so executed slots track
+    each tile's true need instead of the global worst case.
+
+    MEASURED A WASH for the k=30 extension (r4, 800k, cap 64):
+    189.7 ms vs 177.7 rectangular — the (P, k) init gather + output
+    scatter-back (~400 MB of HBM traffic) eats the ~45 ms clamp saving.
+    Kept behind PCC_KNN_EXT_SORTED=1 (default off) because it is exact and
+    tested; the MOMENTS variant below has no k-wide init/output (~70 MB
+    moved) and does win — see _mom_sorted_slices.
+    """
+    from .refine_pallas import refine_knn_pallas_t
+
+    nta, capext = cand_ext.shape
+    d1, i1 = init
+    order = jnp.argsort(-ncand2).astype(jnp.int32)
+    npad = (-nta) % slice_tiles
+    order_p = (jnp.concatenate(
+        [order, jnp.broadcast_to(order[-1:], (npad,))]) if npad else order)
+    nta_p = nta + npad
+    # Padding duplicates the lowest-need tile with need forced to 0: its
+    # output rows equal the seed and are dropped before the scatter-back.
+    nc_s = jnp.where(jnp.arange(nta_p) < nta, ncand2[order_p], 0)
+    cand_s = cand_ext[order_p]
+    qt_s = jnp.take(
+        qt8.reshape(8, nta, CHUNK), order_p, axis=1
+    ).reshape(8, nta_p * CHUNK)
+    d1_s = jnp.take(d1.reshape(nta, CHUNK, k), order_p, axis=0)
+    i1_s = jnp.take(i1.reshape(nta, CHUNK, k), order_p, axis=0)
+
+    ws = [w for w in widths if w < capext] + [capext]
+    ws_arr = jnp.asarray(ws, jnp.int32)
+    outs_d, outs_i = [], []
+    for s0 in range(0, nta_p, slice_tiles):
+        sl = slice(s0, s0 + slice_tiles)
+        nc_sl = nc_s[sl]
+        cand_sl = cand_s[sl]
+        qs = jax.lax.slice_in_dim(
+            qt_s, s0 * CHUNK, (s0 + slice_tiles) * CHUNK, axis=1)
+        ds = d1_s[sl].reshape(slice_tiles * CHUNK, k)
+        is_ = i1_s[sl].reshape(slice_tiles * CHUNK, k)
+
+        def mk(w):
+            def br(qs=qs, cand_sl=cand_sl, nc_sl=nc_sl, ds=ds, is_=is_, w=w):
+                return refine_knn_pallas_t(
+                    qs, b8r, perm_row, cand_sl[:, :w], k,
+                    ncand=jnp.minimum(nc_sl, w),
+                    init=(ds, is_), interpret=interp,
+                )
+            return br
+
+        widx = jnp.searchsorted(ws_arr, jnp.max(nc_sl), side="left")
+        fd, fi = jax.lax.switch(widx, [mk(w) for w in ws])
+        outs_d.append(fd)
+        outs_i.append(fi)
+
+    fd_all = jnp.concatenate(outs_d).reshape(nta_p, CHUNK, k)[:nta]
+    fi_all = jnp.concatenate(outs_i).reshape(nta_p, CHUNK, k)[:nta]
+    dk = jnp.zeros((nta, CHUNK, k), fd_all.dtype).at[order].set(fd_all)
+    ik = jnp.zeros((nta, CHUNK, k), fi_all.dtype).at[order].set(fi_all)
+    return dk.reshape(nta * CHUNK, k), ik.reshape(nta * CHUNK, k)
+
+
+def _mom_sorted_slices(qt8, b8r, perm_row, cand, nc1, rk, ik, interp,
+                       slice_tiles=512, widths=(8, 16, 32)):
+    """Need-sorted sliced moments sweep (see _ext_sorted_slices).
+
+    The count-gated moments pass pays the same per-clamped-visit overhead
+    as the k-NN extension over a full ``cap``-wide grid (measured 95 ms at
+    800k for mean live need 20.6 of 64). Same compaction: tiles gathered
+    in descending certificate count, static slices, per-slice width from
+    the ladder via lax.switch. Sound for the accumulating kernel because
+    the chosen width always covers the slice max — no member chunk is
+    dropped and no chunk is visited twice.
+    """
+    from .refine_pallas import moments_pallas_t, MOM_CH
+
+    nta, cap = cand.shape
+    order = jnp.argsort(-nc1).astype(jnp.int32)
+    npad = (-nta) % slice_tiles
+    order_p = (jnp.concatenate(
+        [order, jnp.broadcast_to(order[-1:], (npad,))]) if npad else order)
+    nta_p = nta + npad
+    nc_s = jnp.where(jnp.arange(nta_p) < nta, nc1[order_p], 0)
+    cand_s = cand[order_p]
+    qt_s = jnp.take(
+        qt8.reshape(8, nta, CHUNK), order_p, axis=1
+    ).reshape(8, nta_p * CHUNK)
+    rk_s = jnp.take(rk, order_p, axis=0)
+    ik_s = jnp.take(ik, order_p, axis=0)
+
+    ws = [w for w in widths if w < cap] + [cap]
+    ws_arr = jnp.asarray(ws, jnp.int32)
+    outs = []
+    for s0 in range(0, nta_p, slice_tiles):
+        sl = slice(s0, s0 + slice_tiles)
+        nc_sl = nc_s[sl]
+        cand_sl = cand_s[sl]
+        qs = jax.lax.slice_in_dim(
+            qt_s, s0 * CHUNK, (s0 + slice_tiles) * CHUNK, axis=1)
+        rk_sl = rk_s[sl]
+        ik_sl = ik_s[sl]
+
+        def mk(w):
+            def br(qs=qs, cand_sl=cand_sl, nc_sl=nc_sl, rk_sl=rk_sl,
+                   ik_sl=ik_sl, w=w):
+                return moments_pallas_t(
+                    qs, b8r, perm_row, cand_sl[:, :w],
+                    jnp.minimum(nc_sl, w), rk_sl, ik_sl, interpret=interp,
+                )
+            return br
+
+        widx = jnp.searchsorted(ws_arr, jnp.max(nc_sl), side="left")
+        outs.append(jax.lax.switch(widx, [mk(w) for w in ws]))
+
+    mom_all = jnp.concatenate(outs).reshape(nta_p, CHUNK, MOM_CH)[:nta]
+    mom = jnp.zeros((nta, CHUNK, MOM_CH), mom_all.dtype).at[order].set(
+        mom_all)
+    return mom.reshape(nta * CHUNK, MOM_CH)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "exclude_self", "cap", "fallback_tiles",
@@ -163,18 +299,37 @@ def knn_pruned_sorted(
             ub1_eff = ub1 * (1 + 8 * eps) + 8 * eps
             counts1 = jnp.sum(lb <= ub1_eff[:, None], axis=1)
             ncand2 = jnp.clip(counts1 - p1, 0, cap - p1).astype(jnp.int32)
-            # cs MUST stay 1 for k-NN refine passes: cs=2 duplicates the
-            # unrolled 30-round merge body per grid step and the register
-            # spill makes the extension 3.3x SLOWER (546 vs 166 ms at
-            # 800k). Only merge-free kernels (moments, 1-NN) win from
-            # slot batching.
+            # cs MUST stay 1 for k-NN refine passes — measured TWICE:
+            # round 3's per-slot merge bodies (3.3x slower, register
+            # spill) AND round 4's single concatenated (k+cs*CHUNK)-row
+            # merge region (cs=2: ext 190 -> 502 ms, fully-CLAMPED grid
+            # 76 -> 431 ms — the wider merge body is carried by every
+            # step even predicated off). Only merge-free kernels
+            # (moments, 1-NN) win from slot batching; the k-NN extension
+            # sheds clamp overhead via the compacted tier below instead.
             ext_cs = int(_os.environ.get("PCC_KNN_CS", "1"))
-            dk, ik = refine_knn_pallas_t(
-                qt8, b8r, gb.perm[None, :], cand[:, p1:], k,
-                ncand=ncand2,
-                exclude_self=exclude_self, interpret=interp,
-                init=(d1, i1), cs=ext_cs,
+            # Tile shuffling requires the kernel to never consult global
+            # query rows: exclude_self=True does (diagonal masking).
+            ext_slice = max(
+                8, int(_os.environ.get("PCC_KNN_EXT_SLICE", "512")) // 8 * 8)
+            ext_sorted = (
+                _os.environ.get("PCC_KNN_EXT_SORTED", "0") == "1"
+                and not exclude_self
+                and nta >= ext_slice
+                and ext_cs == 1
             )
+            if ext_sorted:
+                dk, ik = _ext_sorted_slices(
+                    qt8, b8r, gb.perm[None, :], cand[:, p1:], ncand2, k,
+                    (d1, i1), interp, slice_tiles=ext_slice,
+                )
+            else:
+                dk, ik = refine_knn_pallas_t(
+                    qt8, b8r, gb.perm[None, :], cand[:, p1:], k,
+                    ncand=ncand2,
+                    exclude_self=exclude_self, interpret=interp,
+                    init=(d1, i1), cs=ext_cs,
+                )
         else:
             dk, ik = refine_knn_pallas_t(
                 qt8, b8r, gb.perm[None, :], cand, k,
@@ -369,10 +524,21 @@ def knn_pruned_sorted(
         qt8m = (jnp.pad(qt8, ((0, 0), (0, qpadm * CHUNK)))
                 if qpadm else qt8)
         nc1 = jnp.minimum(countsf, cap)
-        mom = moments_pallas_t(
-            qt8m, b8r, gb.perm[None, :], cand, nc1, kth_d, kth_i,
-            interpret=interp,
-        )[: p]
+        import os as _os
+
+        mom_slice = max(
+            8, int(_os.environ.get("PCC_KNN_EXT_SLICE", "512")) // 8 * 8)
+        if (_os.environ.get("PCC_KNN_MOM_SORTED", "1") == "1"
+                and qpadm == 0 and nta >= mom_slice):
+            mom = _mom_sorted_slices(
+                qt8m, b8r, gb.perm[None, :], cand, nc1, kth_d, kth_i,
+                interp, slice_tiles=mom_slice,
+            )[: p]
+        else:
+            mom = moments_pallas_t(
+                qt8m, b8r, gb.perm[None, :], cand, nc1, kth_d, kth_i,
+                interpret=interp,
+            )[: p]
 
         def mom_tier(tiles, tcand, nt, lo):
             """Extend compacted tiles' moments past the stage-lo prefix."""

@@ -865,8 +865,8 @@ def _knn_kernel_t(cand_ref, aux_ref, off_ref, qt_ref, *rest, k, exclude_self,
             ik_ref[:] = jnp.full_like(ik_ref, INT_MAX)
 
     q = qt_ref[:]  # (8, tt*CHUNK)
-    for t, c in [(t_, c_) for t_ in range(tt) for c_ in range(cs)]:
-        def _dist(t=t, c=c):
+    for t in range(tt):
+        def _dist(c, t=t):
             b = b_refs[t * cs + c][:]  # (CHUNK, 8)
             d = None
             for kk in range(3):
@@ -885,22 +885,34 @@ def _knn_kernel_t(cand_ref, aux_ref, off_ref, qt_ref, *rest, k, exclude_self,
                 d = jnp.where(crow == qcol, jnp.inf, d)
             return b, d
 
-        def _tile_slot(t=t, c=c):
-            b, d = _dist(t, c)
+        def _tile_step(t=t):
+            # All cs slots of this tile merge as ONE region with ONE merge
+            # body over the concatenated candidates. Round-3's cs=2
+            # attempt duplicated the unrolled 30-round merge per slot and
+            # register-spilled (3.3x slower); a single wider merge carries
+            # one body. Slots past the tile's gate (aux) are pre-clamped
+            # duplicates of its last live chunk (_clamp_cand) and the
+            # extraction masks every copy of a (d, id) at once, so
+            # re-merging them is an exact no-op.
             run_d = dk_ref[t * k : (t + 1) * k, :]  # (k, CHUNK)
             run_i = ik_ref[t * k : (t + 1) * k, :]
             # Tie-aware gate (see _knn_kernel): equality fires the merge
             # only when it can lower the k-th ORIGINAL index.
-            bor0 = _ids_from_col7(b)  # (CHUNK, 1)
-            mind = jnp.min(d, axis=0)
-            ii_at_min = jnp.min(
-                jnp.where(d == mind[None, :],
-                          jnp.broadcast_to(bor0, d.shape), INT_MAX),
-                axis=0)
-            improves = jnp.any(
-                (mind < run_d[k - 1, :])
-                | ((mind == run_d[k - 1, :]) & (ii_at_min < run_i[k - 1, :]))
-            )
+            improves = None
+            for c in range(cs):
+                b, d = _dist(c)
+                bor0 = _ids_from_col7(b)  # (CHUNK, 1)
+                mind = jnp.min(d, axis=0)
+                ii_at_min = jnp.min(
+                    jnp.where(d == mind[None, :],
+                              jnp.broadcast_to(bor0, d.shape), INT_MAX),
+                    axis=0)
+                imp = jnp.any(
+                    (mind < run_d[k - 1, :])
+                    | ((mind == run_d[k - 1, :])
+                       & (ii_at_min < run_i[k - 1, :]))
+                )
+                improves = imp if improves is None else improves | imp
 
             # NOTE a tiered small-merge (extract + insertion-sort when no
             # query has more than E qualifiers) was measured HERE and
@@ -910,7 +922,7 @@ def _knn_kernel_t(cand_ref, aux_ref, off_ref, qt_ref, *rest, k, exclude_self,
             # the probe ~7% slower (157 -> 168 ms at 800k). The extension
             # is clamp-overhead-bound, not merge-bound (172 ms, flat).
             @pl.when(improves)
-            def _merge(t=t, c=c):
+            def _merge(t=t):
                 # Recompute d INSIDE the predicated region: a value used
                 # across a pl.when boundary is materialised to scratch
                 # (~0.6 us/visit of traffic for the (256,256) tile, paid
@@ -918,12 +930,15 @@ def _knn_kernel_t(cand_ref, aux_ref, off_ref, qt_ref, *rest, k, exclude_self,
                 # ~half of visits that actually merge. Identical rounding:
                 # same inputs, same expression. The k-buffers re-read from
                 # their refs for the same reason.
-                b2, d = _dist(t, c)
-                bor = jnp.broadcast_to(_ids_from_col7(b2), d.shape)
-                cand_d = jnp.concatenate(
-                    [dk_ref[t * k : (t + 1) * k, :], d], axis=0)
-                cand_i = jnp.concatenate(
-                    [ik_ref[t * k : (t + 1) * k, :], bor], axis=0)
+                parts_d = [dk_ref[t * k : (t + 1) * k, :]]
+                parts_i = [ik_ref[t * k : (t + 1) * k, :]]
+                for c in range(cs):
+                    b2, d = _dist(c)
+                    parts_d.append(d)
+                    parts_i.append(
+                        jnp.broadcast_to(_ids_from_col7(b2), d.shape))
+                cand_d = jnp.concatenate(parts_d, axis=0)
+                cand_i = jnp.concatenate(parts_i, axis=0)
                 dcur = cand_d
                 for r in range(k):
                     m = jnp.min(dcur, axis=0, keepdims=True)  # (1, CHUNK)
@@ -936,11 +951,13 @@ def _knn_kernel_t(cand_ref, aux_ref, off_ref, qt_ref, *rest, k, exclude_self,
 
         if has_ncand:
             # Low-overhead count gate (see _nn_kernel_t): one SMEM scalar
-            # compare skips the whole tile-slot compute beyond the tile's
-            # certificate-derived candidate need.
-            pl.when(j * cs + c < aux_ref[i * tt + t])(_tile_slot)
+            # compare skips the whole tile step beyond the tile's
+            # certificate-derived candidate need. The region gate is at
+            # cs granularity — a straddling region's trailing slots are
+            # the idempotent pre-clamped duplicates described above.
+            pl.when(j * cs < aux_ref[i * tt + t])(_tile_step)
         else:
-            _tile_slot()
+            _tile_step()
 
 
 def _knn_group_t(qt8_g, tbase, b8p, cand_g, aux_g, k, exclude_self,

@@ -297,6 +297,43 @@ def test_counted_knn_schedule_matches_bruteforce(monkeypatch):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_ext_sorted_slices_matches_unsorted(monkeypatch):
+    """Need-sorted sliced extension (PCC_KNN_EXT_SORTED) is bit-identical
+    to the rectangular gated extension: same per-tile candidate order and
+    seeds, tiles independent. Covers slice padding (nta=24, slice 16) and
+    the width-ladder switch."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from open_pcc_metric_tpu.ops.grid import build_grid_host
+    from open_pcc_metric_tpu.ops.knn_pruned import knn_pruned_sorted
+
+    monkeypatch.setenv("PCC_KNN_SCHED", "counted")
+    rng = np.random.default_rng(17)
+    na, p, k = 5000, 6144, 30
+    A = rng.integers(0, 96, (na, 3)).astype(float)
+    ga = build_grid_host(A, p, dtype=jnp.float32)
+
+    monkeypatch.setenv("PCC_KNN_EXT_SORTED", "0")
+    d0, i0, ov0, m0 = knn_pruned_sorted(
+        ga, ga, jnp.asarray(na), k, cap=16, fallback_tiles=64,
+        refine_impl="pallas_interpret", with_moments=True)
+
+    monkeypatch.setenv("PCC_KNN_EXT_SORTED", "1")
+    monkeypatch.setenv("PCC_KNN_EXT_SLICE", "16")
+    d1, i1, ov1, m1 = knn_pruned_sorted(
+        ga, ga, jnp.asarray(na), k, cap=16, fallback_tiles=64,
+        refine_impl="pallas_interpret", with_moments=True)
+
+    assert bool(ov0) == bool(ov1)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
+    # Moments: same chunk set per tile, accumulated in a different slice
+    # order — bit-identical per-tile sums (each tile's accumulation order
+    # over its candidate chunks is unchanged).
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m0))
+
+
 class TestKnnMoments:
     """In-kernel covariance moments (knn_pruned_sorted with_moments=True):
     the normal-estimation epilogue without the (P, k, 3) gather."""

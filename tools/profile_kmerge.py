@@ -90,19 +90,41 @@ def main():
     counts1 = jnp.sum(lb <= ub1_eff[:, None], axis=1)
     ncand2 = jnp.clip(counts1 - p1, 0, cap - p1).astype(jnp.int32)
     nc = np.asarray(ncand2)
+    # Compacted-schedule sizing: the kernel visits 8 consecutive tiles per
+    # grid step, so a slot-compacted step table enumerates each GROUP up to
+    # its max tile need. Morton-adjacent tiles have correlated needs, so
+    # sum(group_max) should sit well below n_groups*(cap-p1).
+    gmax = nc[: nc.shape[0] // 8 * 8].reshape(-1, 8).max(axis=1)
+    full = gmax.shape[0] * (cap - p1)
+    print(f"group-max ext need: mean={gmax.mean():.1f} "
+          f"p50={np.percentile(gmax, 50):.0f} "
+          f"p90={np.percentile(gmax, 90):.0f} max={gmax.max()} "
+          f"sum={gmax.sum()} (full grid {full}, "
+          f"ratio {gmax.sum()/full:.2f})", flush=True)
     print(f"ncand2 (ext slots): mean={nc.mean():.1f} "
           f"p50={np.percentile(nc, 50):.0f} p90={np.percentile(nc, 90):.0f} "
           f"p99={np.percentile(nc, 99):.0f} max={nc.max()} "
           f"frac_zero={(nc == 0).mean():.2f}", flush=True)
 
-    timeit("extension (real ncand2, k=30, seeded)",
-           lambda: refine_knn_pallas_t(
-               qt8, b8r, borig, cand[:, p1:], k, ncand=ncand2,
-               init=(d1, i1)))
-    timeit("extension (zero gate: clamped grid only)",
-           lambda: refine_knn_pallas_t(
-               qt8, b8r, borig, cand[:, p1:], k,
-               ncand=jnp.zeros((nta,), jnp.int32), init=(d1, i1)))
+    exts = {}
+    for cs in (1, 2, 4):
+        exts[cs] = timeit(
+            f"extension (real ncand2, k=30, seeded, cs={cs})",
+            lambda cs=cs: refine_knn_pallas_t(
+                qt8, b8r, borig, cand[:, p1:], k, ncand=ncand2,
+                init=(d1, i1), cs=cs))
+    for cs in (1, 2, 4):
+        timeit(f"extension (zero gate: clamped grid only, cs={cs})",
+               lambda cs=cs: refine_knn_pallas_t(
+                   qt8, b8r, borig, cand[:, p1:], k,
+                   ncand=jnp.zeros((nta,), jnp.int32), init=(d1, i1),
+                   cs=cs))
+    # Combined-region merge equality across cs (idempotent duplicate merge)
+    for cs in (2, 4):
+        same_d = bool(jnp.array_equal(exts[1][0], exts[cs][0]))
+        same_i = bool(jnp.array_equal(exts[1][1], exts[cs][1]))
+        print(f"    cs={cs} vs cs=1: dists equal={same_d} "
+              f"ids equal={same_i}", flush=True)
 
     # Moments sweep at the final counts (stage-2-free approximation).
     dk, ik, _ = knn_pruned_sorted(g, g, n, k, cap=cap, fallback_tiles=256)
