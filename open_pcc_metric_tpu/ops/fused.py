@@ -552,6 +552,7 @@ _LADDER_MEMO: dict = {}
     static_argnames=(
         "color_scheme", "point_to_plane", "d2_mode", "k", "est_a", "est_b",
         "knn_cap", "knn_ft", "prune_cap", "prune_fallback", "mxu_ok",
+        "knn_flags",
     ),
 )
 def cold_pair_program(
@@ -562,7 +563,7 @@ def cold_pair_program(
     color_scheme=None, point_to_plane=True, d2_mode="reference",
     est_a=True, est_b=True,
     k=30, knn_cap=64, knn_ft=256, prune_cap=32, prune_fallback=256,
-    mxu_ok=False,
+    mxu_ok=False, knn_flags=None,
 ):
     """ONE compiled program for a pair whose per-cloud state is (partly)
     cold.
@@ -594,12 +595,12 @@ def cold_pair_program(
     boundary_b = None
     if est_a:
         a_nrm, a_nrm_s, mn_a, mx_a, ov_a = estimation_core(
-            ga, n_a, k, knn_cap, knn_ft)
+            ga, n_a, k, knn_cap, knn_ft, flags=knn_flags)
         boundary_a = (mn_a, mx_a)
         ov_est = ov_est | ov_a
     if est_b:
         b_nrm, b_nrm_s, mn_b, mx_b, ov_b = estimation_core(
-            gb, n_b, k, knn_cap, knn_ft)
+            gb, n_b, k, knn_cap, knn_ft, flags=knn_flags)
         boundary_b = (mn_b, mx_b)
         ov_est = ov_est | ov_b
     if qt8_a is None:
@@ -720,9 +721,12 @@ def _fused_evaluate_cold(a, b, color_scheme, point_to_plane, d2_mode,
     a_nrm, a_nrm_s, est_a = nrm_state(a)
     b_nrm, b_nrm_s, est_b = nrm_state(b)
     kcap = kft = None
+    kflags = None
     if est_a or est_b:
+        from .knn_pruned import knn_flags_from_env
         from .normals import _knn_base_rung
 
+        kflags = knn_flags_from_env()
         base = _knn_base_rung()
         kcap_a, kft_a = ladder_lookup(_EST_MEMO, (a.padded_size, 30), base)
         kcap_b, kft_b = ladder_lookup(_EST_MEMO, (b.padded_size, 30), base)
@@ -740,6 +744,7 @@ def _fused_evaluate_cold(a, b, color_scheme, point_to_plane, d2_mode,
         d2_mode=d2_mode, est_a=est_a, est_b=est_b,
         knn_cap=kcap or 64, knn_ft=kft or 256,
         prune_cap=cap, prune_fallback=fallback, mxu_ok=mxu_ok,
+        knn_flags=kflags,
     )
     stats = jax.device_get(stats)  # one round-trip for scalars + overflow
     if bool(stats["nn_overflow"]):

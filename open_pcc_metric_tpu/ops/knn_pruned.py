@@ -38,6 +38,45 @@ def _resolve_refine_impl(impl: str, dtype) -> str:
     return "xla"
 
 
+class KnnFlags(typing.NamedTuple):
+    """PCC_KNN_* schedule knobs, resolved OUTSIDE the jitted body.
+
+    One hashable static argument: a changed knob is a new static signature
+    and forces a retrace. (Env vars used to be read inside the jitted
+    function, which froze their trace-time values into the cached
+    executable — flag flips silently no-oped once a trace existed, and a
+    round-4 equality test compared a cached trace to itself. ADVICE r4.)
+    """
+
+    sched: str = "counted"
+    p1: int = 8
+    ext_cs: int = 1
+    ext_slice: int = 512
+    ext_sorted: bool = False
+    mom_sorted: bool = True
+
+
+def knn_flags_from_env() -> KnnFlags:
+    """Resolve the PCC_KNN_* tuning knobs from the environment NOW.
+
+    Call-time resolution: public entry points (knn_pruned_sorted wrapper,
+    knn_pruned, estimate_normals_cloud, the fused cold fold) call this per
+    invocation, so env changes take effect on the next CALL. Code composing
+    the traceable internals directly must pass a KnnFlags explicitly.
+    """
+    import os
+
+    return KnnFlags(
+        sched=os.environ.get("PCC_KNN_SCHED", "counted"),
+        p1=int(os.environ.get("PCC_KNN_P1", "8")),
+        ext_cs=int(os.environ.get("PCC_KNN_CS", "1")),
+        ext_slice=max(
+            8, int(os.environ.get("PCC_KNN_EXT_SLICE", "512")) // 8 * 8),
+        ext_sorted=os.environ.get("PCC_KNN_EXT_SORTED", "0") == "1",
+        mom_sorted=os.environ.get("PCC_KNN_MOM_SORTED", "1") == "1",
+    )
+
+
 def _ext_sorted_slices(qt8, b8r, perm_row, cand_ext, ncand2, k, init,
                        interp, slice_tiles=512, widths=(4, 8, 16, 32)):
     """Need-sorted sliced k-NN extension: clamp overhead scales with the
@@ -177,9 +216,9 @@ def _mom_sorted_slices(qt8, b8r, perm_row, cand, nc1, rk, ik, interp,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "exclude_self", "cap", "fallback_tiles",
-                     "refine_impl", "with_moments"),
+                     "refine_impl", "with_moments", "flags"),
 )
-def knn_pruned_sorted(
+def _knn_sorted_impl(
     ga: ChunkGrid,
     gb: ChunkGrid,
     n_a: jnp.ndarray,
@@ -189,6 +228,7 @@ def knn_pruned_sorted(
     fallback_tiles: int = 128,
     refine_impl: str = "auto",
     with_moments: bool = False,
+    flags: KnnFlags = KnnFlags(),
 ) -> typing.Tuple[jnp.ndarray, ...]:
     """k-NN in Morton-sorted query order; ORIGINAL neighbour indices.
 
@@ -269,8 +309,6 @@ def knn_pruned_sorted(
 
     impl = _resolve_refine_impl(refine_impl, dtype)
     if impl in ("pallas", "pallas_interpret"):
-        import os as _os
-
         from .refine_pallas import refine_knn_pallas_t
 
         qt8 = jnp.pad(ga.points, ((0, 0), (0, 5))).T
@@ -278,18 +316,13 @@ def knn_pruned_sorted(
         # 850k-row transpose (see refine_pallas.refine_nn_pallas_t).
         b8r = jnp.pad(gb.points, ((0, 0), (0, 5)))
         interp = impl == "pallas_interpret"
-        counted = (
-            cap > 8
-            and nta % 8 == 0
-            and _os.environ.get("PCC_KNN_SCHED", "counted") == "counted"
-        )
+        counted = cap > 8 and nta % 8 == 0 and flags.sched == "counted"
         if counted:
             # Count-gated two-pass schedule (see nn_pruned_sorted): probe
             # p1 chunks everywhere, then extend each tile IN PLACE to its
             # certificate count via the kernel's per-tile SMEM gate,
             # seeded from the probe's exact k-buffer.
-            p1 = max(1, min(int(_os.environ.get("PCC_KNN_P1", "8")),
-                            cap - 1))
+            p1 = max(1, min(flags.p1, cap - 1))
             d1, i1 = refine_knn_pallas_t(
                 qt8, b8r, gb.perm[None, :], cand[:, :p1], k,
                 exclude_self=exclude_self, interpret=interp,
@@ -307,13 +340,12 @@ def knn_pruned_sorted(
             # step even predicated off). Only merge-free kernels
             # (moments, 1-NN) win from slot batching; the k-NN extension
             # sheds clamp overhead via the compacted tier below instead.
-            ext_cs = int(_os.environ.get("PCC_KNN_CS", "1"))
+            ext_cs = flags.ext_cs
             # Tile shuffling requires the kernel to never consult global
             # query rows: exclude_self=True does (diagonal masking).
-            ext_slice = max(
-                8, int(_os.environ.get("PCC_KNN_EXT_SLICE", "512")) // 8 * 8)
+            ext_slice = flags.ext_slice
             ext_sorted = (
-                _os.environ.get("PCC_KNN_EXT_SORTED", "0") == "1"
+                flags.ext_sorted
                 and not exclude_self
                 and nta >= ext_slice
                 and ext_cs == 1
@@ -524,12 +556,8 @@ def knn_pruned_sorted(
         qt8m = (jnp.pad(qt8, ((0, 0), (0, qpadm * CHUNK)))
                 if qpadm else qt8)
         nc1 = jnp.minimum(countsf, cap)
-        import os as _os
-
-        mom_slice = max(
-            8, int(_os.environ.get("PCC_KNN_EXT_SLICE", "512")) // 8 * 8)
-        if (_os.environ.get("PCC_KNN_MOM_SORTED", "1") == "1"
-                and qpadm == 0 and nta >= mom_slice):
+        mom_slice = flags.ext_slice
+        if flags.mom_sorted and qpadm == 0 and nta >= mom_slice:
             mom = _mom_sorted_slices(
                 qt8m, b8r, gb.perm[None, :], cand, nc1, kth_d, kth_i,
                 interp, slice_tiles=mom_slice,
@@ -600,18 +628,53 @@ def knn_pruned_sorted(
     return dk, ik, overflow, mom
 
 
+def knn_pruned_sorted(
+    ga: ChunkGrid,
+    gb: ChunkGrid,
+    n_a: jnp.ndarray,
+    k: int,
+    exclude_self: bool = False,
+    cap: int = 32,
+    fallback_tiles: int = 128,
+    refine_impl: str = "auto",
+    with_moments: bool = False,
+    flags: typing.Optional[KnnFlags] = None,
+) -> typing.Tuple[jnp.ndarray, ...]:
+    """Public entry for ``_knn_sorted_impl`` (see its docstring).
+
+    Thin non-jit wrapper: the PCC_KNN_* env knobs are resolved HERE, at
+    call time, and passed into the jitted implementation as one static
+    argument — changing a knob between calls retraces instead of silently
+    reusing the old trace. Composing code that is itself traced (the fused
+    cold fold, estimation_core) passes ``flags`` explicitly, resolved at
+    ITS call boundary.
+    """
+    if flags is None:
+        flags = knn_flags_from_env()
+    return _knn_sorted_impl(
+        ga, gb, n_a, k, exclude_self=exclude_self, cap=cap,
+        fallback_tiles=fallback_tiles, refine_impl=refine_impl,
+        with_moments=with_moments, flags=flags,
+    )
+
+
+# Profiling harnesses bust the trace cache between A/B runs.
+knn_pruned_sorted.clear_cache = _knn_sorted_impl.clear_cache
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k", "exclude_self", "cap", "fallback_tiles")
+    jax.jit,
+    static_argnames=("k", "exclude_self", "cap", "fallback_tiles", "flags"),
 )
 def _knn_pruned_jit(a_points, b_points, n_a, n_b, k, exclude_self, cap,
-                    fallback_tiles):
+                    fallback_tiles, flags):
     ga = build_grid(a_points, n_a)
     gb = ga if exclude_self or a_points is b_points else build_grid(
         b_points, n_b
     )
-    dk, ik, overflow = knn_pruned_sorted(
+    dk, ik, overflow = _knn_sorted_impl(
         ga, gb, n_a, k, exclude_self=exclude_self, cap=cap,
-        fallback_tiles=fallback_tiles,
+        fallback_tiles=fallback_tiles, flags=flags,
     )
     p = a_points.shape[0]
     inv = jnp.zeros(p, jnp.int32).at[ga.perm].set(
@@ -649,10 +712,11 @@ def knn_pruned(
 
     cap, fallback_tiles = ladder_lookup(
         _ESCALATION_MEMO, key, (cap, fallback_tiles))
+    flags = knn_flags_from_env()
     while True:
         idx, d, overflow = _knn_pruned_jit(
             a_points, b_points, jnp.asarray(n_a), jnp.asarray(n_b), k,
-            exclude_self, cap, fallback_tiles,
+            exclude_self, cap, fallback_tiles, flags,
         )
         # Exact iff the certificate passed or stage 1 refined every chunk
         # (cap >= ncb: counts <= cap, so the certificate cannot fail).

@@ -379,6 +379,12 @@ def nn_pruned_sorted(
     # set is a prefix of its lb-ascending candidate order wide enough for
     # its final qualifying count, or stage 2 below takes over — the same
     # certificate argument as the fixed schedule.
+    # NOTE trace-time reads: these PCC_NN_* env knobs are frozen into the
+    # cached executable when this function first traces for a given
+    # shape/static signature — flipping them later in the same process
+    # silently has no effect (set them before the first call, or use a
+    # fresh process). The PCC_KNN_* knobs in knn_pruned.py were hoisted to
+    # call-time KnnFlags statics for exactly this reason (ADVICE r4).
     import os as _os2
 
     counted = (

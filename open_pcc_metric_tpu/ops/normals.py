@@ -145,7 +145,7 @@ def _knn_base_rung():
             int(os.environ.get("PCC_KNN_FT", "256")))
 
 
-def estimation_core(g, n, k, cap, ft):
+def estimation_core(g, n, k, cap, ft, flags=None):
     """Traceable estimation body over a prebuilt grid (one certificate rung).
 
     Normals come straight from the in-kernel moment sums (no (P, k, 3)
@@ -162,7 +162,8 @@ def estimation_core(g, n, k, cap, ft):
     from .knn_pruned import knn_pruned_sorted
 
     dk, ik, overflow, mom = knn_pruned_sorted(
-        g, g, n, k, cap=cap, fallback_tiles=ft, with_moments=True)
+        g, g, n, k, cap=cap, fallback_tiles=ft, with_moments=True,
+        flags=flags)
     p = g.perm.shape[0]
     valid = jnp.arange(p) < n
     d1 = jnp.sqrt(jnp.maximum(dk[:, min(k - 1, 1)], 0.0))
@@ -175,7 +176,7 @@ def estimation_core(g, n, k, cap, ft):
 
 
 _estimation_jit = jax.jit(estimation_core,
-                          static_argnames=("k", "cap", "ft"))
+                          static_argnames=("k", "cap", "ft", "flags"))
 
 
 def estimate_normals_cloud(cloud, k: int = DEFAULT_KNN) -> jnp.ndarray:
@@ -201,9 +202,12 @@ def estimate_normals_cloud(cloud, k: int = DEFAULT_KNN) -> jnp.ndarray:
     nta = p // CHUNK
     memo_key = (p, k)
     cap, ft = ladder_lookup(_LADDER_MEMO, memo_key, _knn_base_rung())
+    from .knn_pruned import knn_flags_from_env
+
+    flags = knn_flags_from_env()
     while True:
         nrm, nrm_sorted, mn, mx, overflow = _estimation_jit(
-            g, jnp.asarray(cloud.n), k, cap, ft)
+            g, jnp.asarray(cloud.n), k, cap, ft, flags)
         # Exact iff certified or stage 1 refined every chunk.
         if not bool(overflow) or cap >= ncb:
             ladder_store(_LADDER_MEMO, memo_key, (cap, ft))

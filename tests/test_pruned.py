@@ -301,12 +301,33 @@ def test_ext_sorted_slices_matches_unsorted(monkeypatch):
     """Need-sorted sliced extension (PCC_KNN_EXT_SORTED) is bit-identical
     to the rectangular gated extension: same per-tile candidate order and
     seeds, tiles independent. Covers slice padding (nta=24, slice 16) and
-    the width-ladder switch."""
+    the width-ladder switch.
+
+    The env flips below genuinely retrace: knn_pruned_sorted resolves
+    PCC_KNN_* at call time into a static KnnFlags argument (ADVICE r4
+    found the pre-hoist version of this test comparing one cached trace
+    to itself). The counters prove the sorted paths actually entered the
+    traced program — run 1 must be rectangular-only, run 2 sorted."""
     import numpy as np
     import jax.numpy as jnp
 
+    import open_pcc_metric_tpu.ops.knn_pruned as kp
     from open_pcc_metric_tpu.ops.grid import build_grid_host
     from open_pcc_metric_tpu.ops.knn_pruned import knn_pruned_sorted
+
+    calls = {"ext": 0, "mom": 0}
+    real_ext, real_mom = kp._ext_sorted_slices, kp._mom_sorted_slices
+
+    def count_ext(*a, **kw):
+        calls["ext"] += 1
+        return real_ext(*a, **kw)
+
+    def count_mom(*a, **kw):
+        calls["mom"] += 1
+        return real_mom(*a, **kw)
+
+    monkeypatch.setattr(kp, "_ext_sorted_slices", count_ext)
+    monkeypatch.setattr(kp, "_mom_sorted_slices", count_mom)
 
     monkeypatch.setenv("PCC_KNN_SCHED", "counted")
     rng = np.random.default_rng(17)
@@ -314,16 +335,22 @@ def test_ext_sorted_slices_matches_unsorted(monkeypatch):
     A = rng.integers(0, 96, (na, 3)).astype(float)
     ga = build_grid_host(A, p, dtype=jnp.float32)
 
+    # Run 1: rectangular extension AND rectangular moments (the default
+    # slice of 512 exceeds nta=24, so neither sorted path may engage).
     monkeypatch.setenv("PCC_KNN_EXT_SORTED", "0")
     d0, i0, ov0, m0 = knn_pruned_sorted(
         ga, ga, jnp.asarray(na), k, cap=16, fallback_tiles=64,
         refine_impl="pallas_interpret", with_moments=True)
+    assert calls == {"ext": 0, "mom": 0}
 
+    # Run 2: both sorted paths engage (nta=24 >= slice 16).
     monkeypatch.setenv("PCC_KNN_EXT_SORTED", "1")
     monkeypatch.setenv("PCC_KNN_EXT_SLICE", "16")
     d1, i1, ov1, m1 = knn_pruned_sorted(
         ga, ga, jnp.asarray(na), k, cap=16, fallback_tiles=64,
         refine_impl="pallas_interpret", with_moments=True)
+    assert calls["ext"] >= 1, "sorted extension never executed (stale trace?)"
+    assert calls["mom"] >= 1, "sorted moments never executed (stale trace?)"
 
     assert bool(ov0) == bool(ov1)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))

@@ -55,7 +55,9 @@ def main():
     _sync(g.points)
     n = jnp.asarray(a.n)
 
-    # p1 is read at trace time; clear the jit cache between settings.
+    # PCC_KNN_P1 is resolved at call time into a static KnnFlags arg since
+    # round 5 (each setting is its own trace); clear_cache just bounds the
+    # live-executable footprint across the sweep.
     from open_pcc_metric_tpu.ops import knn_pruned as kp
 
     for p1 in (4, 8, 16):
