@@ -35,6 +35,26 @@ from .grid import CHUNK
 INT_MAX = jnp.iinfo(jnp.int32).max
 
 
+def _vma_union(*operands):
+    """Union of the operands' varying mesh axes (empty outside shard_map)."""
+    vma = frozenset()
+    for op in operands:
+        v = getattr(jax.typeof(op), "vma", None)
+        if v:
+            vma |= frozenset(v)
+    return vma
+
+
+def _sds(shape, dtype, *operands):
+    """ShapeDtypeStruct whose ``vma`` is the union of the operands' varying
+    mesh axes. Under a vma-checked ``jax.shard_map`` (parallel/sharded.py
+    keeps the checker ON, zero opt-outs) pallas_call outputs must DECLARE
+    how they vary across mesh axes; kernel outputs vary exactly over the
+    axes any input varies over. Outside shard_map every vma set is empty
+    and the declaration is inert."""
+    return jax.ShapeDtypeStruct(shape, dtype, vma=_vma_union(*operands))
+
+
 def _diff_form_dist(qt, bt):
     """(8, C) queries x (8, C) candidates -> (C, C) squared distances.
 
@@ -141,8 +161,8 @@ def _nn_group(qt8_g, tbase, b8c, borig, cand_g, exclude_self, interpret):
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((gt * CHUNK, 1), jnp.float32),
-            jax.ShapeDtypeStruct((gt * CHUNK, 1), jnp.int32),
+            _sds((gt * CHUNK, 1), jnp.float32, qt8_g, b8c, borig),
+            _sds((gt * CHUNK, 1), jnp.int32, qt8_g, b8c, borig),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -269,8 +289,8 @@ def _knn_group(qt8_g, tbase, bt8, borig, cand_g, k, exclude_self, interpret):
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((gt * CHUNK, k), jnp.float32),
-            jax.ShapeDtypeStruct((gt * CHUNK, k), jnp.int32),
+            _sds((gt * CHUNK, k), jnp.float32, qt8_g, bt8, borig),
+            _sds((gt * CHUNK, k), jnp.int32, qt8_g, bt8, borig),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -414,8 +434,8 @@ def _nn_group_fused(qt8_g, tbase, bt8, borig, cand_g, exclude_self,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((gt * CHUNK, 1), jnp.float32),
-            jax.ShapeDtypeStruct((gt * CHUNK, 1), jnp.int32),
+            _sds((gt * CHUNK, 1), jnp.float32, qt8_g, bt8, borig),
+            _sds((gt * CHUNK, 1), jnp.int32, qt8_g, bt8, borig),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -502,7 +522,7 @@ def select_candidates_pallas(
             pl.BlockSpec((_SEL_ROWS, lb.shape[1]), lambda i: (i, 0)),
         ],
         out_specs=pl.BlockSpec((_SEL_ROWS, cap), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((rows, cap), jnp.int32),
+        out_shape=_sds((rows, cap), jnp.int32, lb),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
@@ -691,8 +711,8 @@ def _nn_group_t(qt8_g, tbase, b8p, cand_g, aux_g, exclude_self,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((gt, CHUNK), jnp.float32),
-            jax.ShapeDtypeStruct((gt, CHUNK), jnp.int32),
+            _sds((gt, CHUNK), jnp.float32, *operands),
+            _sds((gt, CHUNK), jnp.int32, *operands),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -1000,8 +1020,8 @@ def _knn_group_t(qt8_g, tbase, b8p, cand_g, aux_g, k, exclude_self,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((gt * k, CHUNK), jnp.float32),
-            jax.ShapeDtypeStruct((gt * k, CHUNK), jnp.int32),
+            _sds((gt * k, CHUNK), jnp.float32, *operands),
+            _sds((gt * k, CHUNK), jnp.int32, *operands),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -1229,9 +1249,10 @@ def _nn_group_tp(qt8_g, tbase, b8r, borig_col, payT, cand_g, exclude_self,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((gt, CHUNK), jnp.float32),
-            jax.ShapeDtypeStruct((gt, CHUNK), jnp.int32),
-            jax.ShapeDtypeStruct((gt * PAYLOAD_F, CHUNK), jnp.float32),
+            _sds((gt, CHUNK), jnp.float32, qt8_g, b8r, borig_col),
+            _sds((gt, CHUNK), jnp.int32, qt8_g, b8r, borig_col),
+            _sds((gt * PAYLOAD_F, CHUNK), jnp.float32, qt8_g, b8r,
+                 borig_col),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -1404,7 +1425,7 @@ def _moments_group_t(qt8_g, tbase, b8p, cand_g, aux_g, rk_g,
     (mom,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((gt * MOM_CH, CHUNK), jnp.float32)],
+        out_shape=[_sds((gt * MOM_CH, CHUNK), jnp.float32, *operands)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),

@@ -207,6 +207,55 @@ def _refine_local(a_loc, cand, b_cur, b_perm_cur, payload_cur,
     return dm.reshape(ntl * CHUNK), ii.reshape(ntl * CHUNK), pay
 
 
+def _refine_local_pallas(qt8c, ntl, b_cur, perm_cur, payload_cur, cand,
+                         ncand, nsh, exclude_self, interpret):
+    """Pallas tile refine inside the mesh — results match _refine_local.
+
+    The kernel ties on ORIGINAL ids (``perm_cur`` rides candidate lane 7),
+    matching every single-chip backend. The winner's LOCAL row for the
+    payload gather is recovered through this step's inverse permutation
+    (original id -> local row of the currently-held shard): the kernel
+    only ever selects rows of ``b_cur``, so the inverse lookup is total.
+    ``ncand`` gates per-tile executed slots (None = all live). ``cand``
+    rows beyond ntl are padding for whole-8-tile-group kernel calls.
+    """
+    from ..ops.grid import CHUNK
+    from ..ops.refine_pallas import refine_nn_pallas_t
+
+    pl_rows = b_cur.shape[0]
+    b8r = jnp.pad(b_cur, ((0, 0), (0, 5)))
+    d, ii = refine_nn_pallas_t(
+        qt8c, b8r, perm_cur[None, :], cand, ncand=ncand,
+        exclude_self=exclude_self, interpret=interpret)
+    d = d[: ntl * CHUNK]
+    ii = ii[: ntl * CHUNK]
+    if payload_cur is None:
+        return d, ii, None
+    inv = jnp.zeros(nsh * pl_rows, jnp.int32).at[perm_cur].set(
+        jnp.arange(pl_rows, dtype=jnp.int32))
+    pay = jnp.take(payload_cur, jnp.take(inv, ii, mode="clip"), axis=0)
+    return d, ii, pay
+
+
+def _pad_tile_table(cand, ncand, ntl_pad):
+    """Pad a (ntl, w) candidate table + per-tile gate to ntl_pad rows.
+
+    Padding tiles duplicate the last row with a zero gate (executed-slot
+    count 0): their kernel outputs are +inf/int_max seeds, discarded by
+    the caller's slice back to ntl rows.
+    """
+    ntl = cand.shape[0]
+    if ncand is None:  # all-live: kernel gate becomes a no-op compare
+        ncand = jnp.full((ntl,), cand.shape[1], jnp.int32)
+    if ntl_pad == ntl:
+        return cand, ncand.astype(jnp.int32)
+    cand_p = jnp.concatenate(
+        [cand, jnp.broadcast_to(cand[-1:], (ntl_pad - ntl, cand.shape[1]))])
+    ncand_p = jnp.concatenate(
+        [ncand.astype(jnp.int32), jnp.zeros((ntl_pad - ntl,), jnp.int32)])
+    return cand_p, ncand_p
+
+
 def ring_nn_pruned(
     a_loc: jnp.ndarray,  # (Pl, 3) local MORTON-SORTED query rows
     b_loc: jnp.ndarray,  # (Pl, 3) local Morton-sorted search rows
@@ -219,6 +268,7 @@ def ring_nn_pruned(
     payload: typing.Optional[jnp.ndarray] = None,  # (Pl, F) b-sorted-aligned
     exclude_self: bool = False,
     cap: int = 16,
+    refine_impl: str = "auto",
 ) -> typing.Tuple[jnp.ndarray, jnp.ndarray, typing.Optional[jnp.ndarray],
                   jnp.ndarray]:
     """Bound-pruned exact ring 1-NN over Morton-sorted shards.
@@ -252,15 +302,53 @@ def ring_nn_pruned(
     q_row0 = me * pl_rows
     valid_t, a_lo, a_hi = _tile_bounds_local(a_loc, q_row0, n_a)
 
-    # Step 0: the own shard, solved in full (all ncl chunks) — establishes a
-    # tight ub because Morton sharding aligns query and search regions.
-    cand0 = jnp.broadcast_to(
-        jnp.arange(ncl, dtype=jnp.int32)[None, :], (ntl, ncl))
-    best_d, best_i, best_pay = _refine_local(
-        a_loc, cand0, b_loc, b_perm, payload,
-        q_row0, me * pl_rows, exclude_self)
+    # Per-shard refinement backend: the pallas merge kernel on TPU f32
+    # (the same kernel as the single-chip pruned path — the XLA lax.map
+    # refine left the 1-device smoke ~7x off the fused path even after the
+    # capped step 0), the XLA refine elsewhere (CPU tests, f64).
+    from ..ops.nn_pruned import _resolve_refine_impl
 
+    impl = _resolve_refine_impl(refine_impl, dtype)
+    # The merge kernels are f32-only by construction (original ids ride
+    # candidate lane 7 as an f32 bitcast); f64 rings stay on XLA.
+    use_pallas = (impl in ("pallas", "pallas_interpret")
+                  and dtype == jnp.float32)
+    interp = impl == "pallas_interpret"
+    if use_pallas:
+        ntl_pad = ((ntl + 7) // 8) * 8
+        qt8c = jnp.pad(a_loc, ((0, 0), (0, 5))).T
+        if ntl_pad != ntl:
+            qt8c = jnp.pad(qt8c, ((0, 0), (0, (ntl_pad - ntl) * CHUNK)))
+
+    def refine(b_cur, perm_cur, pay_cur, cand, ncand, b_row0, excl):
+        if use_pallas:
+            cand_p, ncand_p = _pad_tile_table(cand, ncand, ntl_pad)
+            return _refine_local_pallas(
+                qt8c, ntl, b_cur, perm_cur, pay_cur, cand_p, ncand_p,
+                nsh, excl, interp)
+        return _refine_local(a_loc, cand, b_cur, perm_cur, pay_cur,
+                             q_row0, b_row0, excl)
+
+    # Step 0: the own shard, solved under the same lb-prefix + count
+    # certificate as the single-chip stage 1 (ops/nn_pruned.py) instead of
+    # refining ALL ncl chunks. The full own-shard refine made the 1-device
+    # smoke 57x slower than the fused path (ROUND4_NOTES §4): on a w-wide
+    # ring the own shard holds ncl = ncb/w chunks, and brute-refining all
+    # of them is O(ncb/w) work per tile vs the certificate's O(cap0).
+    # Exactness: if counts0 <= cap0, every chunk that could hold a winner
+    # (lb <= ub0_eff) was refined; otherwise overflow is flagged and the
+    # caller escalates — identical ladder semantics to the ring steps.
     cap = int(min(cap, ncl))
+    cap0 = int(min(max(4 * cap, 64), ncl))
+    lb0 = bbox_lower_bounds(a_lo, a_hi, b_bb_lo, b_bb_hi)  # (ntl, ncl)
+    _, cand0 = jax.lax.top_k(-lb0, cap0)
+    best_d, best_i, best_pay = refine(
+        b_loc, b_perm, payload, cand0.astype(jnp.int32), None,
+        me * pl_rows, exclude_self)
+    ub0 = jnp.max(
+        jnp.where(valid_t, best_d.reshape(ntl, CHUNK), -jnp.inf), axis=1)
+    ub0_eff = ub0 * (1 + 8 * eps) + 8 * eps
+    ovf0 = jnp.any(jnp.sum(lb0 <= ub0_eff[:, None], axis=1) > cap0)
 
     def step(carry, s):
         b_cur, perm_cur, bb_lo, bb_hi, pay_cur, bd, bi, bp, ovf = carry
@@ -273,12 +361,19 @@ def ring_nn_pruned(
         counts = jnp.sum(qual, axis=1)
         ovf = ovf | jnp.any(counts > cap)
         _, cand = jax.lax.top_k(-jnp.where(qual, lb, jnp.inf), cap)
-        d, ii, pay = _refine_local(
-            a_loc, cand.astype(jnp.int32), b_cur, perm_cur, pay_cur,
-            q_row0, src * pl_rows, exclude_self)
-        # Tiles with zero qualifying chunks still "refined" the cap
-        # lowest-lb chunks (harmless: real distances that simply lose);
-        # merge keeps exactness either way.
+        # excl=False: the query's own row lives only in its OWN shard
+        # (step 0), never in a rotated-in shard, so ring steps have no
+        # self-pairs to mask — and the kernel's masking is POSITIONAL
+        # (local row == candidate row), which would wrongly mask aligned
+        # rows of OTHER shards here.
+        d, ii, pay = refine(
+            b_cur, perm_cur, pay_cur, cand.astype(jnp.int32),
+            jnp.minimum(counts, cap).astype(jnp.int32),
+            src * pl_rows, False)
+        # On the XLA path tiles with zero qualifying chunks still "refine"
+        # the cap lowest-lb chunks (harmless: real distances that simply
+        # lose); the pallas path count-gates them to zero executed slots.
+        # Merge keeps exactness either way.
         better = (d < bd) | ((d == bd) & (ii < bi))
         bd = jnp.where(better, d, bd)
         bi = jnp.where(better, ii, bi)
@@ -303,7 +398,8 @@ def ring_nn_pruned(
         hi_cur = jax.lax.ppermute(b_bb_hi, axis, perm)
         pay_cur = (jax.lax.ppermute(payload, axis, perm)
                    if payload is not None else None)
-        ovf0 = (_zrow_like(a_loc)[0] > 1)  # operand-derived False
+        # Seed with step 0's certificate verdict (operand-derived, so the
+        # carry keeps the right varying-axis attributes).
         carry = (b_cur, perm_cur, lo_cur, hi_cur, pay_cur,
                  best_d, best_i, best_pay, ovf0)
         carry, _ = jax.lax.scan(
@@ -311,7 +407,7 @@ def ring_nn_pruned(
         best_d, best_i, best_pay, overflow = carry[5], carry[6], carry[7], \
             carry[8]
     else:
-        overflow = jnp.asarray(False)
+        overflow = ovf0
     return best_d, best_i, best_pay, overflow
 
 
@@ -333,7 +429,6 @@ def ring_knn_coords_pruned(
     (Open3D semantics), coords only — no cross-shard gathers.
     """
     from ..ops.grid import CHUNK, bbox_lower_bounds
-    from ..ops.knn import knn
 
     nsh = jax.lax.axis_size(axis)
     me = jax.lax.axis_index(axis)
@@ -343,12 +438,6 @@ def ring_knn_coords_pruned(
     dtype = a_loc.dtype
     eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
     valid_t, a_lo, a_hi = _tile_bounds_local(a_loc, me * pl_rows, n_a)
-
-    # Step 0: own shard, full k-NN. Running buffers stay tile-shaped
-    # (ntl, CHUNK, k[, 3]) through the scan.
-    idx0, d0 = knn(a_loc, b_loc, k=k)
-    run_d = d0.reshape(ntl, CHUNK, k)
-    run_c = jnp.take(b_loc, idx0, axis=0).reshape(ntl, CHUNK, k, 3)
     cap = int(min(cap, ncl))
 
     def merge(rd, rc, cand, b_cur):
@@ -385,6 +474,26 @@ def ring_knn_coords_pruned(
         )
         return rd.reshape(ntl, CHUNK, k), rc.reshape(ntl, CHUNK, k, 3)
 
+    # Step 0: own shard under the lb-prefix + count certificate (same
+    # rationale as ring_nn_pruned's step 0 — a full own-shard k-NN is
+    # O(ncb/w) per tile). The k-buffer seeds at +inf and merges the cap0
+    # lowest-lb chunks; counts0 > cap0 flags overflow for escalation.
+    cap0 = int(min(max(4 * cap, 64), ncl))
+    lb0 = bbox_lower_bounds(a_lo, a_hi, b_bb_lo, b_bb_hi)
+    _, cand0 = jax.lax.top_k(-lb0, cap0)
+    zq = _zrow_like(a_loc)
+    run_d = jnp.broadcast_to(
+        (zq + jnp.asarray(jnp.inf, dtype))[:, None], (pl_rows, k)
+    ).reshape(ntl, CHUNK, k)
+    run_c = jnp.broadcast_to(
+        zq[:, None, None], (pl_rows, k, 3)
+    ).astype(dtype).reshape(ntl, CHUNK, k, 3)
+    run_d, run_c = merge(run_d, run_c, cand0.astype(jnp.int32), b_loc)
+    ub0 = jnp.max(
+        jnp.where(valid_t, run_d[..., k - 1], -jnp.inf), axis=1)
+    ub0_eff = ub0 * (1 + 8 * eps) + 8 * eps
+    ovf0 = jnp.any(jnp.sum(lb0 <= ub0_eff[:, None], axis=1) > cap0)
+
     def step(carry, s):
         b_cur, bb_lo, bb_hi, rd, rc, ovf = carry
         ub = jnp.max(jnp.where(valid_t, rd[..., k - 1], -jnp.inf), axis=1)
@@ -400,7 +509,7 @@ def ring_knn_coords_pruned(
                 jax.lax.ppermute(bb_hi, axis, perm),
                 rd, rc, ovf), None
 
-    overflow = (_zrow_like(a_loc)[0] > 1)  # operand-derived False
+    overflow = ovf0  # operand-derived, carries step 0's certificate verdict
     if nsh > 1:
         perm = [(i, (i - 1) % nsh) for i in range(nsh)]
         carry = (jax.lax.ppermute(b_loc, axis, perm),
@@ -600,7 +709,7 @@ def _frame_stats(
 def _frame_stats_sorted(
     a_s, b_s, a_perm, b_perm, a_lo, a_hi, b_lo, b_hi, n_a, n_b,
     a_col_s, b_col_s, a_nrm_s, b_nrm_s, nrm_for_a, nrm_for_b,
-    *, color_scheme, point_to_plane, d2_mode, cap,
+    *, color_scheme, point_to_plane, d2_mode, cap, refine_impl="auto",
 ):
     """Pruned per-frame sharded stats over MORTON-SORTED shards.
 
@@ -669,9 +778,11 @@ def _frame_stats_sorted(
     pay_a = build_payload(a_s, a_col_s, a_nrm_s)
 
     d0, _, pr0, ovf0 = ring_nn_pruned(
-        a_s, b_s, b_perm, b_lo, b_hi, n_a, n_b, payload=pay_b, cap=cap)
+        a_s, b_s, b_perm, b_lo, b_hi, n_a, n_b, payload=pay_b, cap=cap,
+        refine_impl=refine_impl)
     d1, _, pr1, ovf1 = ring_nn_pruned(
-        b_s, a_s, a_perm, a_lo, a_hi, n_b, n_a, payload=pay_a, cap=cap)
+        b_s, a_s, a_perm, a_lo, a_hi, n_b, n_a, payload=pay_a, cap=cap,
+        refine_impl=refine_impl)
     overflows += [ovf0, ovf1]
     pay0 = split_payload(pr0) if pr0 is not None else {}
     pay1 = split_payload(pr1) if pr1 is not None else {}
@@ -692,7 +803,8 @@ def _frame_stats_sorted(
     }
 
     dself, _, _, ovf2 = ring_nn_pruned(
-        a_s, a_s, a_perm, a_lo, a_hi, n_a, n_a, exclude_self=True, cap=cap)
+        a_s, a_s, a_perm, a_lo, a_hi, n_a, n_a, exclude_self=True, cap=cap,
+        refine_impl=refine_impl)
     overflows.append(ovf2)
     sqrt_self = jnp.sqrt(jnp.maximum(dself, 0.0))
     out["self_min"] = jax.lax.pmin(
@@ -807,12 +919,15 @@ def sharded_pair_stats_pruned(
     point_to_plane: bool = False,
     d2_mode: str = "reference",
     cap: int = 16,
+    refine_impl: str = "auto",
 ) -> typing.Dict[str, jnp.ndarray]:
     """Bound-pruned multi-chip metric evaluation over sorted shards.
 
     ``packed`` comes from pack_sorted_frames. Returns the same stats dict as
     sharded_pair_stats plus ``nn_overflow`` (B,) — frames with True must be
     re-evaluated with a larger ``cap`` (run_sweep_sharded escalates).
+    ``refine_impl``: per-shard refinement backend — "auto" picks the pallas
+    merge kernel on TPU f32, the XLA refine elsewhere.
     """
     if point_to_plane and d2_mode == "reference":
         na_h = np.asarray(packed["n_a"])
@@ -835,7 +950,7 @@ def sharded_pair_stats_pruned(
         return _frame_stats_sorted(
             *[named.get(k) for k in keys],
             color_scheme=color_scheme, point_to_plane=point_to_plane,
-            d2_mode=d2_mode, cap=cap,
+            d2_mode=d2_mode, cap=cap, refine_impl=refine_impl,
         )
 
     fspec = P("frames")

@@ -164,7 +164,16 @@ def test_sharded_full_step_matches_fused(dp, scheme, p2p):
 
 @pytest.mark.parametrize("exclude_self", [False, True])
 def test_ring_nn_pruned_matches_oracle(exclude_self):
-    """Pruned ring == oracle bit-for-bit, including original-index ties."""
+    """Pruned ring == oracle bit-for-bit, including original-index ties.
+
+    This exercises the XLA per-shard refinement backend in-mesh. The pallas
+    backend (what real TPU meshes run) cannot run interpret-mode under a
+    vma-checked shard_map on this jax version (scalar-prefetch Ref avals
+    drop their varying-axes set, so the index-map jaxpr is traced
+    replicated but re-evaluated varying and dynamic_slice rejects the mix);
+    its glue is covered out-of-mesh by test_refine_local_pallas_matches_xla
+    below and compiled in-mesh by the real-chip smoke (tools/)."""
+    impl = "xla"
     from open_pcc_metric_tpu.parallel import ring_nn_pruned
 
     mesh = make_mesh(8, dp=1)
@@ -172,10 +181,11 @@ def test_ring_nn_pruned_matches_oracle(exclude_self):
     na, nb = 900, 800
     p = 2048  # 8 shards x 256-chunk alignment
     # Integer voxel cloud: plenty of exact ties to exercise the tie-break.
+    dtype = jnp.float64
     A = rng.integers(0, 64, (na, 3)).astype(float)
     B = A if exclude_self else rng.integers(0, 64, (nb, 3)).astype(float)
-    a = _padded(A, p)
-    b = a if exclude_self else _padded(B, p)
+    a = _padded(A, p, dtype=dtype)
+    b = a if exclude_self else _padded(B, p, dtype=dtype)
     ga, gb = a.get_grid(), b.get_grid()
     payload = jnp.concatenate(
         [gb.points, jnp.asarray(gb.perm, gb.points.dtype)[:, None]], axis=1)
@@ -184,7 +194,8 @@ def test_ring_nn_pruned_matches_oracle(exclude_self):
         d, i, pw, ovf = ring_nn_pruned(
             apts[0], bpts[0], bperm[0], blo[0], bhi[0],
             jnp.asarray(a.n), jnp.asarray(b.n),
-            payload=pay[0], exclude_self=exclude_self, cap=8)
+            payload=pay[0], exclude_self=exclude_self, cap=8,
+            refine_impl=impl)
         ovf = jax.lax.pmax(ovf.astype(jnp.int32), "points") > 0
         return d[None], i[None], pw[None], ovf[None]
 
@@ -213,6 +224,62 @@ def test_ring_nn_pruned_matches_oracle(exclude_self):
     np.testing.assert_allclose(d, od, rtol=1e-12)
     # The payload rows are the winning neighbour's (coords + orig idx).
     np.testing.assert_array_equal(pw[:, 3].astype(np.int64), oidx)
+
+
+@pytest.mark.parametrize("exclude_self", [False, True])
+def test_refine_local_pallas_matches_xla(exclude_self):
+    """The ring's pallas per-shard refine glue == the XLA refine, bit for
+    bit, out-of-mesh (interpret mode cannot run in-mesh on this jax — see
+    test_ring_nn_pruned_matches_oracle). Covers the padded tile table
+    (ntl=3 -> ntl_pad=8 / ntl=4 -> 8), the per-tile ncand gate (emulated on
+    the XLA side by duplicating slot 0 into gated-out slots — duplicates
+    never change a min), original-id tie-breaks on integer f32 coords, the
+    inverse-permutation payload gather, and positional self-exclusion."""
+    from open_pcc_metric_tpu.ops.grid import CHUNK
+    from open_pcc_metric_tpu.parallel.sharded import (
+        _pad_tile_table, _refine_local, _refine_local_pallas)
+
+    rng = np.random.default_rng(11)
+    if exclude_self:
+        ntl = ncl = 4  # positional masking needs a-rows aligned to b-rows
+    else:
+        ntl, ncl = 3, 4
+    cap = 3
+    A = rng.integers(0, 64, (ntl * CHUNK, 3)).astype(np.float32)
+    B = A if exclude_self else (
+        rng.integers(0, 64, (ncl * CHUNK, 3)).astype(np.float32))
+    a_loc = jnp.asarray(A)
+    b_cur = jnp.asarray(B)
+    perm_cur = jnp.asarray(rng.permutation(ncl * CHUNK).astype(np.int32))
+    payload = jnp.concatenate(
+        [b_cur, jnp.asarray(perm_cur, jnp.float32)[:, None]], axis=1)
+    # Own chunk first (so self-masking bites), then random others.
+    cand = np.stack([
+        np.concatenate(([t % ncl],
+                        rng.integers(0, ncl, cap - 1))).astype(np.int32)
+        for t in range(ntl)])
+    ncand = jnp.asarray((np.arange(ntl) % cap + 1).astype(np.int32))
+    cand = jnp.asarray(cand)
+
+    # Pallas backend, exactly as ring_nn_pruned prepares it.
+    ntl_pad = ((ntl + 7) // 8) * 8
+    qt8c = jnp.pad(a_loc, ((0, 0), (0, 5))).T
+    if ntl_pad != ntl:
+        qt8c = jnp.pad(qt8c, ((0, 0), (0, (ntl_pad - ntl) * CHUNK)))
+    cand_p, ncand_p = _pad_tile_table(cand, ncand, ntl_pad)
+    d_pl, i_pl, pay_pl = _refine_local_pallas(
+        qt8c, ntl, b_cur, perm_cur, payload, cand_p, ncand_p,
+        nsh=1, exclude_self=exclude_self, interpret=True)
+
+    # XLA backend on the gate-emulated table.
+    gate = jnp.arange(cap, dtype=jnp.int32)[None, :] < ncand[:, None]
+    cand_x = jnp.where(gate, cand, cand[:, :1])
+    d_x, i_x, pay_x = _refine_local(
+        a_loc, cand_x, b_cur, perm_cur, payload, 0, 0, exclude_self)
+
+    np.testing.assert_array_equal(np.asarray(i_pl), np.asarray(i_x))
+    np.testing.assert_array_equal(np.asarray(d_pl), np.asarray(d_x))
+    np.testing.assert_array_equal(np.asarray(pay_pl), np.asarray(pay_x))
 
 
 def test_ring_nn_pruned_overflow_escalates():
