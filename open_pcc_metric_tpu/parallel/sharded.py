@@ -944,6 +944,24 @@ def sharded_pair_stats_pruned(
             "b_hi", "n_a", "n_b", "a_col_s", "b_col_s", "a_nrm_s",
             "b_nrm_s", "nrm_for_a", "nrm_for_b")
     present = tuple(k for k in keys if packed.get(k) is not None)
+    fn = _pruned_mapped(mesh, present, color_scheme, point_to_plane,
+                        d2_mode, cap, refine_impl)
+    return fn(*[packed[k] for k in present])
+
+
+@functools.lru_cache(maxsize=64)
+def _pruned_mapped(mesh, present, color_scheme, point_to_plane, d2_mode,
+                   cap, refine_impl):
+    """Build-and-cache the jitted shard_map for sharded_pair_stats_pruned.
+
+    ``jax.jit`` caches traces by FUNCTION IDENTITY; rebuilding the
+    shard_map closure per call made every repeat invocation retrace the
+    whole ring graph (seconds of host time per pair on a 1-core driver —
+    the round-5 smoke measured 0.074 Mpts/s rebuilt vs cached). Keyed on
+    the mesh (hashable) and every static that shapes the trace."""
+    keys = ("a_s", "b_s", "a_perm", "b_perm", "a_lo", "a_hi", "b_lo",
+            "b_hi", "n_a", "n_b", "a_col_s", "b_col_s", "a_nrm_s",
+            "b_nrm_s", "nrm_for_a", "nrm_for_b")
 
     def per_frame(*args):
         named = dict(zip(present, args))
@@ -961,7 +979,7 @@ def sharded_pair_stats_pruned(
     mapped = jax.shard_map(
         local_fn, mesh=mesh, in_specs=in_specs, out_specs=fspec,
     )
-    return jax.jit(mapped)(*[packed[k] for k in present])
+    return jax.jit(mapped)
 
 
 def sharded_pair_stats(
@@ -999,6 +1017,15 @@ def sharded_pair_stats(
             )
     optional = {"a_col": a_col, "b_col": b_col, "a_nrm": a_nrm, "b_nrm": b_nrm}
     present = tuple(k for k, v in optional.items() if v is not None)
+    fn = _brute_mapped(mesh, present, color_scheme, point_to_plane, d2_mode)
+    return fn(a_pts, b_pts, n_a, n_b, *[optional[k] for k in present])
+
+
+@functools.lru_cache(maxsize=64)
+def _brute_mapped(mesh, present, color_scheme, point_to_plane, d2_mode):
+    """Build-and-cache the jitted shard_map for sharded_pair_stats — same
+    retrace-per-call trap as _pruned_mapped (jit caches by function
+    identity; a per-call closure never hits)."""
 
     def per_frame(ap, bp, na_, nb_, *rest):
         named = dict(zip(present, rest))
@@ -1021,6 +1048,4 @@ def sharded_pair_stats(
     mapped = jax.shard_map(
         local_fn, mesh=mesh, in_specs=in_specs, out_specs=fspec,
     )
-    return jax.jit(mapped)(
-        a_pts, b_pts, n_a, n_b, *[optional[k] for k in present]
-    )
+    return jax.jit(mapped)
