@@ -366,7 +366,7 @@ def run_sharded_smoke(n_target: int = 100_000):
     from open_pcc_metric_tpu.cloud import Cloud, round_up
     from open_pcc_metric_tpu.ops.fused import pair_stats
     from open_pcc_metric_tpu.parallel.sharded import (
-        make_mesh, pack_sorted_frames, sharded_pair_stats_pruned)
+        make_mesh, pack_sorted_frames, sharded_pair_stats_pruned_auto)
     from open_pcc_metric_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
@@ -383,14 +383,11 @@ def run_sharded_smoke(n_target: int = 100_000):
                   d2_mode="pc_error")
     packed = pack_sorted_frames([a], [b], **kwargs)
 
-    def run(cap=16):
-        while True:
-            stats = sharded_pair_stats_pruned(mesh, packed, cap=cap,
-                                              **kwargs)
-            if not bool(np.asarray(stats["nn_overflow"]).any()) \
-                    or cap >= pad // 256:
-                return stats
-            cap *= 4
+    def run():
+        # Ladder + rung memo live in the library now: the first call
+        # escalates to the settling cap, repeats go straight there
+        # (one evaluation + one overflow readback per call).
+        return sharded_pair_stats_pruned_auto(mesh, packed, **kwargs)
 
     stats = run()  # compile warm-up + escalation to the working cap
     times = []

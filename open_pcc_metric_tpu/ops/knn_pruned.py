@@ -54,6 +54,8 @@ class KnnFlags(typing.NamedTuple):
     ext_slice: int = 512
     ext_sorted: bool = False
     mom_sorted: bool = True
+    ext_e1: int = 0
+    ext_fte: int = 0
 
 
 def knn_flags_from_env() -> KnnFlags:
@@ -74,6 +76,8 @@ def knn_flags_from_env() -> KnnFlags:
             8, int(os.environ.get("PCC_KNN_EXT_SLICE", "512")) // 8 * 8),
         ext_sorted=os.environ.get("PCC_KNN_EXT_SORTED", "0") == "1",
         mom_sorted=os.environ.get("PCC_KNN_MOM_SORTED", "1") == "1",
+        ext_e1=int(os.environ.get("PCC_KNN_EXT_E1", "0")),
+        ext_fte=int(os.environ.get("PCC_KNN_EXT_FTE", "0")),
     )
 
 
@@ -213,6 +217,68 @@ def _mom_sorted_slices(qt8, b8r, perm_row, cand, nc1, rk, ik, interp,
     return mom.reshape(nta * CHUNK, MOM_CH)
 
 
+def _ext_two_level(qt8, b8r, perm_row, cand, p1, e1, ncand2, k, init,
+                   interp, fte):
+    """Two-level count-gated k-NN extension (VERDICT r4 item 1b).
+
+    The rectangular gated extension carries a clamped-grid floor
+    proportional to its full width ``cap - p1`` for EVERY tile (~0.5 us
+    per clamped tile-visit; measured 95.2 ms of a 171.5 ms extension at
+    800k for a mean live need of 14.3 of 56 slots). Split it:
+
+      level 1 — in-place extension of ``e1`` slots for all tiles (floor
+        scales with ``e1``, and e1 covers the need of most tiles);
+      level 2 — the few tiles whose certificate need exceeds ``p1 + e1``
+        are COMPACTED (queries + seed k-buffers gathered into a
+        contiguous ``fte``-tile layout, like the stage-2 tiers) and
+        extended through the remaining ``cap - p1 - e1`` candidate
+        columns, then scattered back.
+
+    Unlike _ext_sorted_slices (a measured wash: it relayouts every
+    tile's (P, k) seed/output, ~400 MB of HBM traffic), only exceeding
+    tiles move here. Exactness NEVER rests on the ``fte`` budget: if
+    more than ``fte`` tiles exceed level 1, a lax.cond falls back to
+    finishing the extension rectangularly for all tiles — bit-identical
+    (same per-tile candidate order; the k-merge keeps the lexicographic
+    (d, original id) k-best, which is visit-order independent).
+
+    Compaction requires the kernel to never consult global query rows,
+    so callers must keep exclude_self=False (the normals path).
+    """
+    from .refine_pallas import refine_knn_pallas_t
+
+    nta, cap = cand.shape
+    # ---- level 1: in-place e1-slot gated extension, all tiles
+    d_e, i_e = refine_knn_pallas_t(
+        qt8, b8r, perm_row, cand[:, p1:p1 + e1], k,
+        ncand=jnp.minimum(ncand2, e1), init=init, interpret=interp,
+    )
+    need = jnp.maximum(ncand2 - e1, 0)
+    n_exceed = jnp.sum(need > 0)
+
+    def tier(_):
+        _, sel = jax.lax.top_k(need, fte)
+        sel = sel.astype(jnp.int32)
+        rows = (sel[:, None] * CHUNK
+                + jnp.arange(CHUNK, dtype=jnp.int32)).reshape(fte * CHUNK)
+        qt8_o = jnp.take(qt8, rows, axis=1)
+        nc_t = jnp.minimum(need[sel], cap - p1 - e1).astype(jnp.int32)
+        fd, fi = refine_knn_pallas_t(
+            qt8_o, b8r, perm_row, cand[sel, p1 + e1:], k,
+            ncand=nc_t, init=(d_e[rows], i_e[rows]), interpret=interp,
+        )
+        return d_e.at[rows].set(fd), i_e.at[rows].set(fi)
+
+    def rect_rest(_):
+        return refine_knn_pallas_t(
+            qt8, b8r, perm_row, cand[:, p1 + e1:], k,
+            ncand=jnp.minimum(need, cap - p1 - e1).astype(jnp.int32),
+            init=(d_e, i_e), interpret=interp,
+        )
+
+    return jax.lax.cond(n_exceed <= fte, tier, rect_rest, operand=None)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "exclude_self", "cap", "fallback_tiles",
@@ -350,10 +416,27 @@ def _knn_sorted_impl(
                 and nta >= ext_slice
                 and ext_cs == 1
             )
+            e1 = flags.ext_e1
+            two_level = (
+                0 < e1 < cap - p1
+                and not exclude_self
+                and not ext_sorted
+                and nta % 8 == 0
+                and ext_cs == 1
+            )
             if ext_sorted:
                 dk, ik = _ext_sorted_slices(
                     qt8, b8r, gb.perm[None, :], cand[:, p1:], ncand2, k,
                     (d1, i1), interp, slice_tiles=ext_slice,
+                )
+            elif two_level:
+                fte = flags.ext_fte
+                if fte <= 0:
+                    fte = max(512, nta // 4)
+                fte = min((fte + 7) // 8 * 8, nta)
+                dk, ik = _ext_two_level(
+                    qt8, b8r, gb.perm[None, :], cand, p1, e1, ncand2, k,
+                    (d1, i1), interp, fte,
                 )
             else:
                 dk, ik = refine_knn_pallas_t(

@@ -256,6 +256,46 @@ def _pad_tile_table(cand, ncand, ntl_pad):
     return cand_p, ncand_p
 
 
+def _ring_step0_counted(refine, lb0, cand0, p0, cap0, valid_t, ntl, eps,
+                        b_loc, b_perm, payload, q_row0, exclude_self):
+    """Counted two-pass step 0 (the single-chip stage-1 schedule,
+    ops/nn_pruned.py): probe the ``p0`` lowest-lb chunks all-live, then
+    extend each tile IN PLACE to its certificate count through the
+    kernel's per-tile SMEM gate.
+
+    The flat cap0-wide step 0 left the 1-device smoke at 35% of the fused
+    path (151.5 ms direct vs 53.7 fused at 100k: cap0=256 all-live slot
+    visits per tile vs a mean live need of a handful —
+    tools/profile_sharded_split.py). Exactness: the final ub <= the probe
+    ub, so every chunk qualifying under the final ub lies inside the
+    probe-counted lb-prefix the extension covered, or counts0 > cap0
+    flags overflow for the caller's escalation ladder.
+
+    Factored out of ring_nn_pruned so the pallas glue is unit-testable
+    out-of-mesh (interpret-mode pallas cannot run under a vma-checked
+    shard_map on this jax version — see test_refine_local_pallas_*).
+    """
+    from ..ops.grid import CHUNK
+
+    best_d, best_i, best_pay = refine(
+        b_loc, b_perm, payload, cand0[:, :p0], None, q_row0, exclude_self)
+    ubp = jnp.max(
+        jnp.where(valid_t, best_d.reshape(ntl, CHUNK), -jnp.inf), axis=1)
+    ubp_eff = ubp * (1 + 8 * eps) + 8 * eps
+    counts0 = jnp.sum(lb0 <= ubp_eff[:, None], axis=1)
+    ncand_e = jnp.clip(counts0 - p0, 0, cap0 - p0).astype(jnp.int32)
+    d_e, i_e, pay_e = refine(
+        b_loc, b_perm, payload, cand0[:, p0:], ncand_e, q_row0,
+        exclude_self)
+    # Gated-off tiles return +inf/int_max rows and never win the merge.
+    better = (d_e < best_d) | ((d_e == best_d) & (i_e < best_i))
+    best_d = jnp.where(better, d_e, best_d)
+    best_i = jnp.where(better, i_e, best_i)
+    if best_pay is not None:
+        best_pay = jnp.where(better[:, None], pay_e, best_pay)
+    return best_d, best_i, best_pay, jnp.any(counts0 > cap0)
+
+
 def ring_nn_pruned(
     a_loc: jnp.ndarray,  # (Pl, 3) local MORTON-SORTED query rows
     b_loc: jnp.ndarray,  # (Pl, 3) local Morton-sorted search rows
@@ -342,13 +382,21 @@ def ring_nn_pruned(
     cap0 = int(min(max(4 * cap, 64), ncl))
     lb0 = bbox_lower_bounds(a_lo, a_hi, b_bb_lo, b_bb_hi)  # (ntl, ncl)
     _, cand0 = jax.lax.top_k(-lb0, cap0)
-    best_d, best_i, best_pay = refine(
-        b_loc, b_perm, payload, cand0.astype(jnp.int32), None,
-        me * pl_rows, exclude_self)
-    ub0 = jnp.max(
-        jnp.where(valid_t, best_d.reshape(ntl, CHUNK), -jnp.inf), axis=1)
-    ub0_eff = ub0 * (1 + 8 * eps) + 8 * eps
-    ovf0 = jnp.any(jnp.sum(lb0 <= ub0_eff[:, None], axis=1) > cap0)
+    cand0 = cand0.astype(jnp.int32)
+    p0 = min(8, cap0)
+    if use_pallas and cap0 > p0:
+        best_d, best_i, best_pay, ovf0 = _ring_step0_counted(
+            refine, lb0, cand0, p0, cap0, valid_t, ntl, eps,
+            b_loc, b_perm, payload, me * pl_rows, exclude_self)
+    else:
+        best_d, best_i, best_pay = refine(
+            b_loc, b_perm, payload, cand0, None, me * pl_rows,
+            exclude_self)
+        ub0 = jnp.max(
+            jnp.where(valid_t, best_d.reshape(ntl, CHUNK), -jnp.inf),
+            axis=1)
+        ub0_eff = ub0 * (1 + 8 * eps) + 8 * eps
+        ovf0 = jnp.any(jnp.sum(lb0 <= ub0_eff[:, None], axis=1) > cap0)
 
     def step(carry, s):
         b_cur, perm_cur, bb_lo, bb_hi, pay_cur, bd, bi, bp, ovf = carry
@@ -947,6 +995,55 @@ def sharded_pair_stats_pruned(
     fn = _pruned_mapped(mesh, present, color_scheme, point_to_plane,
                         d2_mode, cap, refine_impl)
     return fn(*[packed[k] for k in present])
+
+
+# Rung memo for the sharded escalation ladder, keyed per problem shape
+# (same discipline as ops/nn_pruned.py _ESCALATION_MEMO).
+_RING_LADDER: typing.Dict[tuple, tuple] = {}
+
+
+def sharded_pair_stats_pruned_auto(
+    mesh: Mesh,
+    packed: typing.Dict[str, typing.Optional[jnp.ndarray]],
+    color_scheme: typing.Optional[str] = None,
+    point_to_plane: bool = False,
+    d2_mode: str = "reference",
+    cap: int = 16,
+    refine_impl: str = "auto",
+) -> typing.Dict[str, jnp.ndarray]:
+    """sharded_pair_stats_pruned with the cap-escalation ladder + rung memo.
+
+    Callers previously re-climbed the ladder from the base rung on EVERY
+    evaluation, paying one full device evaluation plus a synchronous
+    overflow readback per wasted rung: 96.5 ms of the 248 ms 1-device
+    smoke call at 100k was ladder re-probing
+    (tools/profile_sharded_split.py). Remember the settling cap per
+    problem shape; ladder_lookup retries the base rung periodically so
+    one pathological frame group cannot pin the expensive rung forever.
+
+    Exactness bound: once ``cap >= ncl`` (chunks per shard) no ring step
+    can overflow (counts <= ncl = cap), so the ladder terminates exact.
+    """
+    from ..ops.grid import CHUNK
+    from ..utils.cache import ladder_lookup, ladder_store
+
+    nsh = mesh.devices.shape[1]
+    ncl = packed["b_s"].shape[1] // (nsh * CHUNK)
+    key = (
+        mesh.devices.shape,
+        packed["a_s"].shape, packed["b_s"].shape,
+        color_scheme, point_to_plane, d2_mode, refine_impl,
+    )
+    cap = min(ladder_lookup(_RING_LADDER, key, cap), max(ncl, 1))
+    while True:
+        stats = sharded_pair_stats_pruned(
+            mesh, packed, color_scheme=color_scheme,
+            point_to_plane=point_to_plane, d2_mode=d2_mode, cap=cap,
+            refine_impl=refine_impl)
+        if cap >= ncl or not bool(np.asarray(stats["nn_overflow"]).any()):
+            ladder_store(_RING_LADDER, key, cap)
+            return stats
+        cap = min(cap * 4, ncl)
 
 
 @functools.lru_cache(maxsize=64)

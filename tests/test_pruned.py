@@ -361,6 +361,88 @@ def test_ext_sorted_slices_matches_unsorted(monkeypatch):
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m0))
 
 
+def test_ext_two_level_matches_rectangular(monkeypatch):
+    """Two-level extension (PCC_KNN_EXT_E1): level-1 in-place + compacted
+    tier is bit-identical to the rectangular gated extension, on BOTH
+    lax.cond branches (tier and the rectangular-rest fallback).
+
+    Branch coverage is deterministic: the helper is also called directly
+    with a synthetic need vector — fte=nta guarantees the tier branch
+    (n_exceed <= nta always) and an all-exceed need with fte < nta
+    guarantees the fallback branch."""
+    import jax
+    import jax.numpy as jnp
+
+    import open_pcc_metric_tpu.ops.knn_pruned as kp
+    from open_pcc_metric_tpu.ops.grid import build_grid_host
+    from open_pcc_metric_tpu.ops.grid import bbox_lower_bounds
+    from open_pcc_metric_tpu.ops.knn_pruned import knn_pruned_sorted
+    from open_pcc_metric_tpu.ops.refine_pallas import refine_knn_pallas_t
+
+    calls = {"two": 0}
+    real_two = kp._ext_two_level
+
+    def count_two(*a, **kw):
+        calls["two"] += 1
+        return real_two(*a, **kw)
+
+    monkeypatch.setattr(kp, "_ext_two_level", count_two)
+    monkeypatch.setenv("PCC_KNN_SCHED", "counted")
+    rng = np.random.default_rng(23)
+    na, p, k = 5000, 6144, 30
+    A = rng.integers(0, 96, (na, 3)).astype(float)
+    ga = build_grid_host(A, p, dtype=jnp.float32)
+
+    monkeypatch.setenv("PCC_KNN_EXT_E1", "0")
+    d0, i0, ov0, m0 = knn_pruned_sorted(
+        ga, ga, jnp.asarray(na), k, cap=16, fallback_tiles=64,
+        refine_impl="pallas_interpret", with_moments=True)
+    assert calls["two"] == 0
+
+    # Integrated: e1=2 with a generous and a tiny tier budget.
+    for fte in ("24", "8"):
+        monkeypatch.setenv("PCC_KNN_EXT_E1", "2")
+        monkeypatch.setenv("PCC_KNN_EXT_FTE", fte)
+        d1, i1, ov1, m1 = knn_pruned_sorted(
+            ga, ga, jnp.asarray(na), k, cap=16, fallback_tiles=64,
+            refine_impl="pallas_interpret", with_moments=True)
+        assert calls["two"] >= 1, "two-level extension never executed"
+        assert bool(ov0) == bool(ov1)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m0))
+
+    # Direct helper call: deterministic branch selection.
+    nta, cap, p1, e1 = p // CHUNK, 16, 8, 2
+    g = ga
+    valid_t = (np.arange(p) < na).reshape(nta, CHUNK)
+    big = jnp.asarray(jnp.finfo(jnp.float32).max)
+    tiles = g.points.reshape(nta, CHUNK, 3)
+    vt = jnp.asarray(valid_t)
+    a_lo = jnp.min(jnp.where(vt[:, :, None], tiles, big), axis=1)
+    a_hi = jnp.max(jnp.where(vt[:, :, None], tiles, -big), axis=1)
+    lb = bbox_lower_bounds(a_lo, a_hi, g.bbox_lo, g.bbox_hi)
+    cand = jax.lax.top_k(-lb, cap)[1].astype(jnp.int32)
+    qt8 = jnp.pad(g.points, ((0, 0), (0, 5))).T
+    b8r = jnp.pad(g.points, ((0, 0), (0, 5)))
+    d1_, i1_ = refine_knn_pallas_t(
+        qt8, b8r, g.perm[None, :], cand[:, :p1], k, interpret=True)
+    need_all = jnp.full((nta,), e1 + 3, jnp.int32)  # every tile exceeds e1
+    want_d, want_i = refine_knn_pallas_t(
+        qt8, b8r, g.perm[None, :], cand[:, p1:], k,
+        ncand=need_all, init=(d1_, i1_), interpret=True)
+    # fte=nta: n_exceed <= fte, tier branch.
+    td, ti = real_two(qt8, b8r, g.perm[None, :], cand, p1, e1, need_all,
+                      k, (d1_, i1_), True, nta)
+    np.testing.assert_array_equal(np.asarray(td), np.asarray(want_d))
+    np.testing.assert_array_equal(np.asarray(ti), np.asarray(want_i))
+    # fte=8 < n_exceed=nta: rectangular-rest fallback branch.
+    fd, fi = real_two(qt8, b8r, g.perm[None, :], cand, p1, e1, need_all,
+                      k, (d1_, i1_), True, 8)
+    np.testing.assert_array_equal(np.asarray(fd), np.asarray(want_d))
+    np.testing.assert_array_equal(np.asarray(fi), np.asarray(want_i))
+
+
 class TestKnnMoments:
     """In-kernel covariance moments (knn_pruned_sorted with_moments=True):
     the normal-estimation epilogue without the (P, k, 3) gather."""

@@ -282,6 +282,52 @@ def test_refine_local_pallas_matches_xla(exclude_self):
     np.testing.assert_array_equal(np.asarray(pay_pl), np.asarray(pay_x))
 
 
+@pytest.mark.parametrize("exclude_self", [False, True])
+def test_ring_step0_counted_matches_flat(exclude_self):
+    """The counted two-pass step 0 (probe + per-tile gated extension) is
+    bit-identical to the flat all-live cap0 refine, out-of-mesh (interpret
+    pallas — in-mesh interpret is impossible on this jax, see
+    test_refine_local_pallas_matches_xla), payload rows included. cap0 =
+    ncl makes the flat pass the exact reference and forbids overflow."""
+    from open_pcc_metric_tpu.ops.grid import CHUNK, bbox_lower_bounds
+    from open_pcc_metric_tpu.parallel.sharded import (
+        _pad_tile_table, _refine_local_pallas, _ring_step0_counted,
+        _tile_bounds_local)
+
+    rng = np.random.default_rng(13)
+    A = rng.integers(0, 64, (1800, 3)).astype(float)
+    B = A if exclude_self else rng.integers(0, 64, (1900, 3)).astype(float)
+    p = 2048
+    a = _padded(A, p, dtype=jnp.float32)
+    b = a if exclude_self else _padded(B, p, dtype=jnp.float32)
+    ga, gb = a.get_grid(), b.get_grid()
+    ntl = ncl = p // CHUNK
+    valid_t, a_lo, a_hi = _tile_bounds_local(ga.points, 0, jnp.asarray(a.n))
+    lb0 = bbox_lower_bounds(a_lo, a_hi, gb.bbox_lo, gb.bbox_hi)
+    cap0 = ncl
+    _, cand0 = jax.lax.top_k(-lb0, cap0)
+    cand0 = cand0.astype(jnp.int32)
+    payload = jnp.concatenate(
+        [gb.points, jnp.asarray(gb.perm, jnp.float32)[:, None]], axis=1)
+    qt8c = jnp.pad(ga.points, ((0, 0), (0, 5))).T
+
+    def refine(b_cur, perm_cur, pay_cur, cand, ncand, b_row0, excl):
+        cand_p, ncand_p = _pad_tile_table(cand, ncand, ntl)
+        return _refine_local_pallas(qt8c, ntl, b_cur, perm_cur, pay_cur,
+                                    cand_p, ncand_p, 1, excl, True)
+
+    fd, fi, fp = refine(gb.points, gb.perm, payload, cand0, None, 0,
+                        exclude_self)
+    eps = jnp.asarray(jnp.finfo(jnp.float32).eps, jnp.float32)
+    cd, ci, cp, ovf = _ring_step0_counted(
+        refine, lb0, cand0, 4, cap0, valid_t, ntl, eps,
+        gb.points, gb.perm, payload, 0, exclude_self)
+    assert not bool(ovf)
+    np.testing.assert_array_equal(np.asarray(ci), np.asarray(fi))
+    np.testing.assert_array_equal(np.asarray(cd), np.asarray(fd))
+    np.testing.assert_array_equal(np.asarray(cp), np.asarray(fp))
+
+
 def test_ring_nn_pruned_overflow_escalates():
     """cap=1 on a tie-heavy cloud must flag overflow, never silently
     return inexact results; a full-width cap is exact and quiet."""
