@@ -56,6 +56,7 @@ class KnnFlags(typing.NamedTuple):
     mom_sorted: bool = True
     ext_e1: int = 0
     ext_fte: int = 0
+    prologue: str = "xla"
 
 
 def knn_flags_from_env() -> KnnFlags:
@@ -78,6 +79,7 @@ def knn_flags_from_env() -> KnnFlags:
         mom_sorted=os.environ.get("PCC_KNN_MOM_SORTED", "1") == "1",
         ext_e1=int(os.environ.get("PCC_KNN_EXT_E1", "0")),
         ext_fte=int(os.environ.get("PCC_KNN_EXT_FTE", "0")),
+        prologue=os.environ.get("PCC_KNN_PROLOGUE", "xla"),
     )
 
 
@@ -322,12 +324,42 @@ def _knn_sorted_impl(
 
     a_lo = jnp.min(jnp.where(valid_t[:, :, None], a_tiles, big), axis=1)
     a_hi = jnp.max(jnp.where(valid_t[:, :, None], a_tiles, -big), axis=1)
-    lb = bbox_lower_bounds(a_lo, a_hi, gb.bbox_lo, gb.bbox_hi)
 
-    _, cand = jax.lax.top_k(-lb, cap)
-    cand = cand.astype(jnp.int32)
+    impl = _resolve_refine_impl(refine_impl, dtype)
+    interp0 = impl == "pallas_interpret"
+    # Fused-prologue mode (PCC_KNN_PROLOGUE=select, resolved at call time
+    # into flags): candidate selection and certificate counts come from
+    # ops/select_pallas kernels that never materialise the (nta, ncb)
+    # bound matrix. Stage-1 certificates (counts1/counts/countsf) live
+    # entirely in the select kernel's rounded-bound space; the stage-2
+    # tiers and the moments recompute below are fully self-contained in
+    # XLA true-lb space. See nn_pruned.nn_pruned_sorted for the identical
+    # 1-NN wiring and select_pallas for the soundness argument.
+    sel_mode = (
+        impl in ("pallas", "pallas_interpret")
+        and cap > 8 and nta % 8 == 0
+        and flags.sched == "counted"
+        and flags.prologue == "select"
+    )
+    if sel_mode:
+        from .select_pallas import count_bbox_pallas, select_bbox_pallas
+
+        cand, _ = select_bbox_pallas(
+            a_lo, a_hi, gb.bbox_lo, gb.bbox_hi, cap, interpret=interp0)
+        lb = None
+    else:
+        lb = bbox_lower_bounds(a_lo, a_hi, gb.bbox_lo, gb.bbox_hi)
+        _, cand = jax.lax.top_k(-lb, cap)
+        cand = cand.astype(jnp.int32)
     tbases = jnp.arange(nta, dtype=jnp.int32)
     batch = _pick_batch(nta, 8)  # k-wide temporaries: smaller tile batches
+
+    def cert_counts(ub_eff):
+        if sel_mode:
+            return count_bbox_pallas(
+                a_lo, a_hi, gb.bbox_lo, gb.bbox_hi, ub_eff,
+                interpret=interp0).astype(jnp.int32)
+        return jnp.sum(lb <= ub_eff[:, None], axis=1).astype(jnp.int32)
 
     int_max = jnp.iinfo(jnp.int32).max
 
@@ -373,7 +405,6 @@ def _knn_sorted_impl(
 
         return refine_body
 
-    impl = _resolve_refine_impl(refine_impl, dtype)
     if impl in ("pallas", "pallas_interpret"):
         from .refine_pallas import refine_knn_pallas_t
 
@@ -396,7 +427,7 @@ def _knn_sorted_impl(
             kth1 = d1.reshape(nta, CHUNK, k)[:, :, k - 1]
             ub1 = jnp.max(jnp.where(valid_t, kth1, -jnp.inf), axis=1)
             ub1_eff = ub1 * (1 + 8 * eps) + 8 * eps
-            counts1 = jnp.sum(lb <= ub1_eff[:, None], axis=1)
+            counts1 = cert_counts(ub1_eff)
             ncand2 = jnp.clip(counts1 - p1, 0, cap - p1).astype(jnp.int32)
             # cs MUST stay 1 for k-NN refine passes — measured TWICE:
             # round 3's per-slot merge bodies (3.3x slower, register
@@ -468,7 +499,7 @@ def _knn_sorted_impl(
     kth = dk[:, :, k - 1]
     ub = jnp.max(jnp.where(valid_t, kth, -jnp.inf), axis=1)
     ub_eff = ub * (1 + 8 * eps) + 8 * eps
-    counts = jnp.sum(lb <= ub_eff[:, None], axis=1).astype(jnp.int32)
+    counts = cert_counts(ub_eff)
     n_over = jnp.sum(counts > cap)
 
     # ---- stage 2: re-refine the worst tiles in two count-matched tiers
@@ -539,13 +570,12 @@ def _knn_sorted_impl(
         )
         return fd.reshape(nt, CHUNK, k), fi.reshape(nt, CHUNK, k)
 
-    def recount(otiles, fd, cap2):
-        olb = lb[otiles]
+    def recount(otiles, fd, tlb):
         ovalid = valid_t[otiles]
         ub2 = jnp.max(
             jnp.where(ovalid, fd[:, :, k - 1], -jnp.inf), axis=1)
         ub2_eff = ub2 * (1 + 8 * eps) + 8 * eps
-        return jnp.sum(olb <= ub2_eff[:, None], axis=1)
+        return jnp.sum(tlb <= ub2_eff[:, None], axis=1)
 
     def scatter(dk, ik, otiles, fd, fi, nt):
         orows = (otiles[:, None] * CHUNK
@@ -570,22 +600,44 @@ def _knn_sorted_impl(
     if ft > 0 and cap2a > cap:
         _, otiles = jax.lax.top_k(counts, ft)
         otiles = otiles.astype(jnp.int32)
-        olb = lb[otiles]
+        if sel_mode:
+            # Tiers are self-contained in XLA true-lb space: recompute the
+            # (ft, ncb) bound slice for the compacted tiles only and
+            # refine the FULL lb-ascending prefix (stage 1's select-kernel
+            # candidate order shares no usable prefix with the XLA table
+            # once rounding differs). Seeding with the stage-1 k-buffers
+            # stays exact: the merge only improves them.
+            olb = bbox_lower_bounds(
+                a_lo[otiles], a_hi[otiles], gb.bbox_lo, gb.bbox_hi)
+        else:
+            olb = lb[otiles]
         _, ocand = jax.lax.top_k(-olb, cap2a)
         ocand = ocand.astype(jnp.int32)
         if gate_tiers:
             rows_a = tier_rows(otiles, ft)
-            oc_a = counts[otiles]
-            ncand_a = jnp.where(
-                oc_a > cap, jnp.minimum(oc_a, cap2a) - cap, 0
-            ).astype(jnp.int32)
-            fb_d, fb_i = refine_tier(
-                otiles, ocand[:, cap:], ft, cap2a - cap,
-                ncand=ncand_a, init=(dk[rows_a], ik[rows_a]),
-            )
+            if sel_mode:
+                counts_x = jnp.sum(
+                    olb <= ub_eff[otiles][:, None], axis=1
+                ).astype(jnp.int32)
+                ncand_a = jnp.where(
+                    counts[otiles] > cap,
+                    jnp.minimum(counts_x, cap2a), 0).astype(jnp.int32)
+                fb_d, fb_i = refine_tier(
+                    otiles, ocand, ft, cap2a,
+                    ncand=ncand_a, init=(dk[rows_a], ik[rows_a]),
+                )
+            else:
+                oc_a = counts[otiles]
+                ncand_a = jnp.where(
+                    oc_a > cap, jnp.minimum(oc_a, cap2a) - cap, 0
+                ).astype(jnp.int32)
+                fb_d, fb_i = refine_tier(
+                    otiles, ocand[:, cap:], ft, cap2a - cap,
+                    ncand=ncand_a, init=(dk[rows_a], ik[rows_a]),
+                )
         else:
             fb_d, fb_i = refine_tier(otiles, ocand, ft, cap2a)
-        counts2a = recount(otiles, fb_d, cap2a)
+        counts2a = recount(otiles, fb_d, olb)
         dk, ik = scatter(dk, ik, otiles, fb_d, fb_i, ft)
 
         ft2 = min(max(ft // 8, 16), ft)
@@ -594,21 +646,31 @@ def _knn_sorted_impl(
             overflow = overflow | (jnp.sum(need_b > 0) > ft2)
             _, bsel = jax.lax.top_k(need_b, ft2)
             btiles = otiles[bsel]
-            _, bcand = jax.lax.top_k(-lb[btiles], cap2b)
+            blb = olb[bsel]
+            _, bcand = jax.lax.top_k(-blb, cap2b)
             bcand = bcand.astype(jnp.int32)
             if gate_tiers:
                 rows_b = tier_rows(btiles, ft2)
                 nb = need_b[bsel]
-                ncand_b = jnp.where(
-                    nb > 0, jnp.minimum(nb, cap2b) - cap2a, 0
-                ).astype(jnp.int32)
-                bb_d, bb_i = refine_tier(
-                    btiles, bcand[:, cap2a:], ft2, cap2b - cap2a,
-                    ncand=ncand_b, init=(dk[rows_b], ik[rows_b]),
-                )
+                if sel_mode:
+                    ncand_b = jnp.where(
+                        nb > 0, jnp.minimum(nb, cap2b), 0
+                    ).astype(jnp.int32)
+                    bb_d, bb_i = refine_tier(
+                        btiles, bcand, ft2, cap2b,
+                        ncand=ncand_b, init=(dk[rows_b], ik[rows_b]),
+                    )
+                else:
+                    ncand_b = jnp.where(
+                        nb > 0, jnp.minimum(nb, cap2b) - cap2a, 0
+                    ).astype(jnp.int32)
+                    bb_d, bb_i = refine_tier(
+                        btiles, bcand[:, cap2a:], ft2, cap2b - cap2a,
+                        ncand=ncand_b, init=(dk[rows_b], ik[rows_b]),
+                    )
             else:
                 bb_d, bb_i = refine_tier(btiles, bcand, ft2, cap2b)
-            counts2b = recount(btiles, bb_d, cap2b)
+            counts2b = recount(btiles, bb_d, blb)
             overflow = overflow | jnp.any(counts2b > cap2b)
             dk, ik = scatter(dk, ik, btiles, bb_d, bb_i, ft2)
         else:
@@ -629,7 +691,7 @@ def _knn_sorted_impl(
     kth_i = ik[:, k - 1].reshape(nta, CHUNK)
     ubf = jnp.max(jnp.where(valid_t, kth_d, -jnp.inf), axis=1)
     ubf_eff = ubf * (1 + 8 * eps) + 8 * eps
-    countsf = jnp.sum(lb <= ubf_eff[:, None], axis=1).astype(jnp.int32)
+    countsf = cert_counts(ubf_eff)
 
     if impl in ("pallas", "pallas_interpret") and not exclude_self:
         from .refine_pallas import moments_pallas_t
@@ -680,10 +742,54 @@ def _knn_sorted_impl(
             nt_rows = rows[: nt * CHUNK]
             return mom.at[nt_rows].set(momt[: nt * CHUNK])
 
+        def mom_tier_scratch(tiles, tcand, nt, tlb):
+            """sel_mode: recompute compacted tiles' moments FROM SCRATCH
+            over the full XLA-space tier prefix. The stage-1 sweep used
+            the select kernel's rounded candidate order, which shares no
+            prefix with the XLA tier table, so extending would double-
+            count revisited chunks; a zero-seeded full-prefix sweep of
+            width min(countsf_x, tier width) is complete for every tile
+            the tier certificate covers. Tiles whose rounded-space count
+            already fits the stage-1 sweep keep it (gate to 0 slots)."""
+            nt_pad = ((nt + 7) // 8) * 8
+            ncm_x = jnp.sum(
+                tlb <= ubf_eff[tiles][:, None], axis=1).astype(jnp.int32)
+            take = countsf[tiles] > cap
+            ncm = jnp.where(
+                take, jnp.minimum(ncm_x, tcand.shape[1]), 0
+            ).astype(jnp.int32)
+            tiles_p, tcand_p, ncm_p = tiles, tcand, ncm
+            if nt_pad != nt:
+                tiles_p = jnp.concatenate(
+                    [tiles, jnp.broadcast_to(tiles[-1:], (nt_pad - nt,))])
+                tcand_p = jnp.concatenate(
+                    [tcand,
+                     jnp.broadcast_to(tcand[-1:],
+                                      (nt_pad - nt, tcand.shape[1]))])
+                ncm_p = jnp.concatenate(
+                    [ncm, jnp.zeros((nt_pad - nt,), jnp.int32)])
+            rows = (tiles_p[:, None] * CHUNK
+                    + jnp.arange(CHUNK, dtype=jnp.int32)).reshape(-1)
+            qt8_o = jnp.take(qt8, rows, axis=1)
+            momt = moments_pallas_t(
+                qt8_o, b8r, gb.perm[None, :], tcand_p, ncm_p,
+                kth_d[tiles_p], kth_i[tiles_p],
+                interpret=interp,
+            )
+            nt_rows = rows[: nt * CHUNK]
+            take_rows = jnp.repeat(take, CHUNK)[:, None]
+            return mom.at[nt_rows].set(
+                jnp.where(take_rows, momt[: nt * CHUNK], mom[nt_rows]))
+
         if otiles is not None:
-            mom = mom_tier(otiles, ocand[:, cap:], ft, cap)
-            if cap2b > cap2a:
-                mom = mom_tier(btiles, bcand[:, cap2a:], ft2, cap2a)
+            if sel_mode:
+                mom = mom_tier_scratch(otiles, ocand, ft, olb)
+                if cap2b > cap2a:
+                    mom = mom_tier_scratch(btiles, bcand, ft2, blb)
+            else:
+                mom = mom_tier(otiles, ocand[:, cap:], ft, cap)
+                if cap2b > cap2a:
+                    mom = mom_tier(btiles, bcand[:, cap2a:], ft2, cap2a)
     else:
         # Gather-based fallback (CPU tests, exclude_self): same sums.
         pb = gb.points.shape[0]

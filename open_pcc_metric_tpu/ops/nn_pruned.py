@@ -265,7 +265,6 @@ def nn_pruned_sorted(
 
     a_lo = jnp.min(jnp.where(valid_t[:, :, None], a_tiles, big), axis=1)
     a_hi = jnp.max(jnp.where(valid_t[:, :, None], a_tiles, -big), axis=1)
-    lb = bbox_lower_bounds(a_lo, a_hi, gb.bbox_lo, gb.bbox_hi)  # (nta, ncb)
 
     b_perm_chunks = gb.perm.reshape(ncb, CHUNK)
 
@@ -365,11 +364,6 @@ def nn_pruned_sorted(
     if not pallas_mode:
         refine = refine_xla
 
-    # ---- stage 1: refine the cap smallest-lb chunks per tile
-    _, cand = jax.lax.top_k(-lb, cap)  # (nta, cap)
-    cand = cand.astype(jnp.int32)
-    tbases = jnp.arange(nta, dtype=jnp.int32)
-
     # Count-gated two-pass schedule (default on TPU): probe the p1
     # smallest-lb chunks of EVERY tile, derive each tile's certificate
     # count from the probe's ub, then extend each tile IN PLACE to
@@ -393,6 +387,44 @@ def nn_pruned_sorted(
         and cap > 8
         and _os2.environ.get("PCC_NN_SCHED", "counted") == "counted"
     )
+    # Fused-prologue mode (PCC_NN_PROLOGUE=select): candidate selection and
+    # certificate counts come from ops/select_pallas kernels that never
+    # materialise the (nta, ncb) bound matrix — the matrix + lax.top_k grow
+    # O(nta*ncb) while refinement work stays flat (tools/profile_counts.py),
+    # so at 2M points the prologue dominates. Soundness: stage-1
+    # certificates live entirely in the select kernel's rounded-bound space
+    # (count_bbox_pallas over-counts it by construction; see
+    # select_pallas.count_slack), and stage-2 tiers below are fully
+    # self-contained in XLA true-lb space.
+    sel_mode = (
+        counted
+        and _os2.environ.get("PCC_NN_PROLOGUE", "xla") == "select"
+    )
+    interp = pallas_mode and impl == "pallas_interpret"
+    if sel_mode:
+        from .select_pallas import count_bbox_pallas, select_bbox_pallas
+
+        cand, _ = select_bbox_pallas(
+            a_lo, a_hi, gb.bbox_lo, gb.bbox_hi, cap, interpret=interp)
+        lb = None
+    else:
+        lb = bbox_lower_bounds(
+            a_lo, a_hi, gb.bbox_lo, gb.bbox_hi)  # (nta, ncb)
+        _, cand = jax.lax.top_k(-lb, cap)  # lb-ascending candidate prefix
+        cand = cand.astype(jnp.int32)
+    tbases = jnp.arange(nta, dtype=jnp.int32)
+
+    def cert_ub(d):
+        ub = jnp.max(jnp.where(valid_t, d, -jnp.inf), axis=1)
+        return ub * (1 + 8 * eps) + 8 * eps
+
+    def cert_counts(ub_eff):
+        if sel_mode:
+            return count_bbox_pallas(
+                a_lo, a_hi, gb.bbox_lo, gb.bbox_hi, ub_eff,
+                interpret=interp).astype(jnp.int32)
+        return jnp.sum(lb <= ub_eff[:, None], axis=1).astype(jnp.int32)
+
     if counted:
         p1 = int(_os2.environ.get("PCC_NN_P1", "8"))
         p1 = max(1, min(p1, cap - 1))
@@ -405,7 +437,7 @@ def nn_pruned_sorted(
         )
         d1 = d1[: nta * CHUNK].reshape(nta, CHUNK)
         i1 = i1[: nta * CHUNK].reshape(nta, CHUNK)
-        counts1 = _ub_counts(d1, valid_t, lb, eps)
+        counts1 = cert_counts(cert_ub(d1))
         ncand2 = jnp.clip(counts1 - p1, 0, cap - p1).astype(jnp.int32)
         # cs=2 batches 2 gated slots per grid step: the extension executes
         # a mean of ~4 of its 24 slots (p50=1, 47% zero at 800k), and each
@@ -426,9 +458,8 @@ def nn_pruned_sorted(
         dmin, gidx = refine(a_tiles, cand, tbases, cap, _pick_batch(nta))
 
     # ---- stage-1 exactness certificate
-    ub = jnp.max(jnp.where(valid_t, dmin, -jnp.inf), axis=1)  # (nta,)
-    ub_eff = ub * (1 + 8 * eps) + 8 * eps
-    counts = jnp.sum(lb <= ub_eff[:, None], axis=1).astype(jnp.int32)
+    ub_eff = cert_ub(dmin)  # (nta,)
+    counts = cert_counts(ub_eff)
     n_over = jnp.sum(counts > cap)
 
     # ---- stage 2: re-refine the worst tiles (octant-straddling wide-bbox
@@ -460,12 +491,11 @@ def nn_pruned_sorted(
         return (dst_d.at[rows].set(src_d.reshape(nt * CHUNK)),
                 dst_i.at[rows].set(src_i.reshape(nt * CHUNK)))
 
-    def recount(tiles, d_ref):
-        tlb = lb[tiles]
+    def recount(tiles, d_ref, tlb):
         tvalid = valid_t[tiles]
         ub_t = jnp.max(jnp.where(tvalid, d_ref, -jnp.inf), axis=1)
         ub_t_eff = ub_t * (1 + 8 * eps) + 8 * eps
-        return jnp.sum(tlb <= ub_t_eff[:, None], axis=1), tlb
+        return jnp.sum(tlb <= ub_t_eff[:, None], axis=1)
 
     def refine_tier(otiles, ocand, nt, cap2, ncand=None, init=None):
         """Re-refine a compacted tile set. When the stage-1 path is pallas
@@ -536,22 +566,50 @@ def nn_pruned_sorted(
     if ft > 0 and cap2a > cap:
         _, otiles = jax.lax.top_k(counts, ft)
         otiles = otiles.astype(jnp.int32)
-        olb = lb[otiles]
+        if sel_mode:
+            # Tiers are fully self-contained in XLA true-lb space: the
+            # (ft, ncb) bound slice is recomputed for the compacted tiles
+            # only, the tier refines the FULL lb-ascending prefix (the
+            # stage-1-prefix-skipping trick needs the tier table to share
+            # stage 1's candidate order, which does not survive the select
+            # kernel's rounding), and the certificate recount uses the
+            # same XLA bounds. Seeding from the stage-1 rows stays exact:
+            # extra refined chunks only lower distances.
+            olb = bbox_lower_bounds(
+                a_lo[otiles], a_hi[otiles], gb.bbox_lo, gb.bbox_hi)
+        else:
+            olb = lb[otiles]
         _, ocand = jax.lax.top_k(-olb, cap2a)
         ocand = ocand.astype(jnp.int32)
         if gate_tiers:
             rows_a = tier_rows(otiles, ft)
-            oc_a = counts[otiles]
-            ncand_a = jnp.where(
-                oc_a > cap, jnp.minimum(oc_a, cap2a) - cap, 0
-            ).astype(jnp.int32)
-            fb_d, fb_i = refine_tier(
-                otiles, ocand[:, cap:], ft, cap2a - cap,
-                ncand=ncand_a, init=(dmin[rows_a], gidx[rows_a]),
-            )
+            if sel_mode:
+                # Gate on the XLA-space qualifying count at the current
+                # (post-stage-1) threshold: the post-refine recount can
+                # only shrink, so counts2a <= min(counts_x, cap2a) = the
+                # refined width whenever counts2a <= cap2a.
+                counts_x = jnp.sum(
+                    olb <= ub_eff[otiles][:, None], axis=1
+                ).astype(jnp.int32)
+                ncand_a = jnp.where(
+                    counts[otiles] > cap,
+                    jnp.minimum(counts_x, cap2a), 0).astype(jnp.int32)
+                fb_d, fb_i = refine_tier(
+                    otiles, ocand, ft, cap2a,
+                    ncand=ncand_a, init=(dmin[rows_a], gidx[rows_a]),
+                )
+            else:
+                oc_a = counts[otiles]
+                ncand_a = jnp.where(
+                    oc_a > cap, jnp.minimum(oc_a, cap2a) - cap, 0
+                ).astype(jnp.int32)
+                fb_d, fb_i = refine_tier(
+                    otiles, ocand[:, cap:], ft, cap2a - cap,
+                    ncand=ncand_a, init=(dmin[rows_a], gidx[rows_a]),
+                )
         else:
             fb_d, fb_i = refine_tier(otiles, ocand, ft, cap2a)
-        counts2a, _ = recount(otiles, fb_d)
+        counts2a = recount(otiles, fb_d, olb)
         dmin, gidx = scatter_rows(dmin, gidx, otiles, fb_d, fb_i, ft)
 
         ft2 = min(max(ft // 8, 16), ft)
@@ -569,16 +627,28 @@ def nn_pruned_sorted(
             if gate_tiers:
                 rows_b = tier_rows(btiles, ft2)
                 nb = need_b[bsel]
-                ncand_b = jnp.where(
-                    nb > 0, jnp.minimum(nb, cap2b) - cap2a, 0
-                ).astype(jnp.int32)
-                bb_d, bb_i = refine_tier(
-                    btiles, bcand[:, cap2a:], ft2, cap2b - cap2a,
-                    ncand=ncand_b, init=(dmin[rows_b], gidx[rows_b]),
-                )
+                if sel_mode:
+                    # Full-prefix tier, same argument as tier A: nb is the
+                    # XLA-space qualifying count at the post-tier-A
+                    # threshold, and counts2b can only shrink from it.
+                    ncand_b = jnp.where(
+                        nb > 0, jnp.minimum(nb, cap2b), 0
+                    ).astype(jnp.int32)
+                    bb_d, bb_i = refine_tier(
+                        btiles, bcand, ft2, cap2b,
+                        ncand=ncand_b, init=(dmin[rows_b], gidx[rows_b]),
+                    )
+                else:
+                    ncand_b = jnp.where(
+                        nb > 0, jnp.minimum(nb, cap2b) - cap2a, 0
+                    ).astype(jnp.int32)
+                    bb_d, bb_i = refine_tier(
+                        btiles, bcand[:, cap2a:], ft2, cap2b - cap2a,
+                        ncand=ncand_b, init=(dmin[rows_b], gidx[rows_b]),
+                    )
             else:
                 bb_d, bb_i = refine_tier(btiles, bcand, ft2, cap2b)
-            counts2b, _ = recount(btiles, bb_d)
+            counts2b = recount(btiles, bb_d, blb)
             overflow = overflow | jnp.any(counts2b > cap2b)
             dmin, gidx = scatter_rows(dmin, gidx, btiles, bb_d, bb_i, ft2)
         else:

@@ -147,3 +147,131 @@ def test_mask_lb_rounds_down_and_is_monotonic():
     order = np.argsort(lb, axis=1, kind="stable")
     msorted = np.take_along_axis(m, order, axis=1)
     assert np.all(np.diff(msorted, axis=1) >= 0)  # order-preserving
+
+
+@pytest.mark.quick
+@pytest.mark.parametrize("exclude_self,integer", [
+    (False, True), (True, True), (False, False),
+])
+def test_select_prologue_nn_matches_oracle(exclude_self, integer,
+                                           monkeypatch):
+    """End-to-end 1-NN with PCC_NN_PROLOGUE=select is bit-exact vs the
+    brute-force oracle (lowest-original-index tie-breaks included), on
+    integer AND float coordinates (float exercises the rounded-space
+    certificate). Trace-cache-busted and counter-asserted so the fused
+    prologue provably executes (ADVICE r4 discipline)."""
+    from tests import oracle
+    from open_pcc_metric_tpu.ops import select_pallas
+    from open_pcc_metric_tpu.ops.grid import build_grid_host
+    from open_pcc_metric_tpu.ops.nn_pruned import (
+        nn_pruned_sorted, unsort_nn_result,
+    )
+
+    monkeypatch.setenv("PCC_NN_SCHED", "counted")
+    monkeypatch.setenv("PCC_NN_PROLOGUE", "select")
+    nn_pruned_sorted.clear_cache()
+
+    calls = {"select": 0, "count": 0}
+    orig_sel = select_pallas.select_bbox_pallas
+    orig_cnt = select_pallas.count_bbox_pallas
+    monkeypatch.setattr(
+        select_pallas, "select_bbox_pallas",
+        lambda *a, **k: (calls.__setitem__("select", calls["select"] + 1),
+                         orig_sel(*a, **k))[1])
+    monkeypatch.setattr(
+        select_pallas, "count_bbox_pallas",
+        lambda *a, **k: (calls.__setitem__("count", calls["count"] + 1),
+                         orig_cnt(*a, **k))[1])
+
+    rng = np.random.default_rng(3 + exclude_self + 2 * integer)
+    na, nb, p = 3100, 2900, 4096
+    if integer:
+        A = rng.integers(0, 64, (na, 3)).astype(float)
+        B = A.copy() if exclude_self else rng.integers(
+            0, 64, (nb, 3)).astype(float)
+    else:
+        A = rng.uniform(0, 37.3, (na, 3))
+        B = A.copy() if exclude_self else rng.uniform(0, 37.3, (nb, 3))
+    ga = build_grid_host(A, p, dtype=jnp.float32)
+    gb = ga if exclude_self else build_grid_host(B, p, dtype=jnp.float32)
+    try:
+        d_s, i_s, ovf = nn_pruned_sorted(
+            ga, gb, jnp.asarray(na), exclude_self=exclude_self,
+            cap=24, fallback_tiles=48, refine_impl="pallas_interpret")
+        assert not bool(ovf)
+        assert calls["select"] >= 1 and calls["count"] >= 2
+        d, idx = unsort_nn_result(ga, gb, d_s, i_s)
+        d, idx = np.asarray(d)[:na], np.asarray(idx)[:na]
+        Bv = A if exclude_self else B
+        # the oracle works on the same f32 values the kernel saw
+        A32 = np.asarray(ga.points)[np.argsort(np.asarray(ga.perm))][:na]
+        B32 = A32 if exclude_self else np.asarray(
+            gb.points)[np.argsort(np.asarray(gb.perm))][:nb]
+        oidx, od = oracle.nn_bruteforce(A32, B32, exclude_self=exclude_self)
+        np.testing.assert_array_equal(idx, oidx)
+        # integer coords: every distance is an exact f32 integer => bit
+        # equality. float coords: XLA emits FMAs the numpy oracle doesn't,
+        # so same-winner distances differ by a few ulps (indices above are
+        # still exact-equal).
+        rtol = 0 if integer else 1e-6
+        np.testing.assert_allclose(d, od, rtol=rtol, atol=0)
+    finally:
+        # the select-mode executable must not leak into later tests that
+        # reuse these shapes under the default prologue
+        nn_pruned_sorted.clear_cache()
+
+
+@pytest.mark.quick
+@pytest.mark.parametrize("cap,ft", [(16, 32), (12, 64)])
+def test_select_prologue_knn_moments_matches_default(cap, ft, monkeypatch):
+    """k-NN + in-kernel moments with PCC_KNN_PROLOGUE=select: indices and
+    distances bit-equal the default prologue (the exact k-set is unique);
+    moment SUMS agree to f32 accumulation order (the sel-mode tier
+    recompute sweeps the XLA-space prefix instead of extending the rounded
+    one, so the same member set is summed in a different order). Tiny caps
+    force the stage-2 tiers and the moments scratch path to execute.
+    PCC_KNN_* knobs are call-time statics, so no trace-cache busting is
+    needed — but kernel execution is still counter-asserted."""
+    from open_pcc_metric_tpu.ops import select_pallas
+    from open_pcc_metric_tpu.ops.grid import build_grid
+    from open_pcc_metric_tpu.ops.knn_pruned import knn_pruned_sorted
+    from open_pcc_metric_tpu.cloud import PAD_SENTINEL
+
+    rng = np.random.default_rng(cap * 100 + ft)
+    pts = np.unique(
+        rng.integers(0, 128, (9000, 3)), axis=0).astype(np.float32)
+    n = pts.shape[0]
+    p = ((n + 2047) // 2048) * 2048
+    buf = np.full((p, 3), PAD_SENTINEL, np.float32)
+    buf[:n] = pts
+    g = build_grid(jnp.asarray(buf), jnp.asarray(n))
+
+    d0, i0, ov0, m0 = knn_pruned_sorted(
+        g, g, jnp.asarray(n), 30, cap=cap, fallback_tiles=ft,
+        refine_impl="pallas_interpret", with_moments=True)
+
+    calls = {"select": 0, "count": 0}
+    orig_sel = select_pallas.select_bbox_pallas
+    orig_cnt = select_pallas.count_bbox_pallas
+    monkeypatch.setattr(
+        select_pallas, "select_bbox_pallas",
+        lambda *a, **k: (calls.__setitem__("select", calls["select"] + 1),
+                         orig_sel(*a, **k))[1])
+    monkeypatch.setattr(
+        select_pallas, "count_bbox_pallas",
+        lambda *a, **k: (calls.__setitem__("count", calls["count"] + 1),
+                         orig_cnt(*a, **k))[1])
+    monkeypatch.setenv("PCC_KNN_PROLOGUE", "select")
+    d1, i1, ov1, m1 = knn_pruned_sorted(
+        g, g, jnp.asarray(n), 30, cap=cap, fallback_tiles=ft,
+        refine_impl="pallas_interpret", with_moments=True)
+    assert calls["select"] >= 1 and calls["count"] >= 3
+    assert bool(ov0) == bool(ov1)
+
+    valid = np.arange(p) < n
+    np.testing.assert_array_equal(np.asarray(i1)[valid],
+                                  np.asarray(i0)[valid])
+    np.testing.assert_array_equal(np.asarray(d1)[valid],
+                                  np.asarray(d0)[valid])
+    np.testing.assert_allclose(np.asarray(m1)[valid],
+                               np.asarray(m0)[valid], rtol=2e-5, atol=2e-3)
